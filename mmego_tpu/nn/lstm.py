@@ -1,0 +1,118 @@
+"""Multi-layer bidirectional LSTM via ``lax.scan``, cuDNN-compatible.
+
+The reference leans on ``nn.LSTM`` everywhere (IMU fast/slow stacks,
+``Net/IMU_Net.py:58-62``; the 3-layer bi-LSTMs of the upper/lower nets,
+``Net/Upper_Net.py:333`` and ``Net/Lower_Net.py:91-93``).  This module is the
+TPU-native equivalent:
+
+* The input projection for **all** timesteps is hoisted out of the recurrence
+  into one large ``(B*T, in) @ (in, 4H)`` matmul (MXU-friendly); the scan body
+  only does the ``(B, H) @ (H, 4H)`` hidden matmul plus fused element-wise
+  gates, which is the minimum serial work an LSTM admits.
+* Gate order is cuDNN/torch's (i, f, g, o) and both bias vectors are kept
+  (summed at fold-in time), so torch checkpoints import losslessly.
+* Bidirectional = a flipped second scan; layers stack with concatenated
+  fwd/bwd outputs and optional inter-layer dropout (torch semantics: applied
+  to every layer's output except the last, train-time only).
+
+Parameter pytree: ``[{"fwd": {"wi","wh","b"}, "bwd": {...}}, ...]`` with
+``wi: (in, 4H)``, ``wh: (H, 4H)``, ``b: (4H,)`` (right-multiply layout).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _direction_init(rng, in_f: int, hidden: int) -> dict:
+    k1, k2, k3 = jax.random.split(rng, 3)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(hidden, jnp.float32))
+    u = lambda k, shape: jax.random.uniform(k, shape, jnp.float32, -bound, bound)
+    return {
+        "wi": u(k1, (in_f, 4 * hidden)),
+        "wh": u(k2, (hidden, 4 * hidden)),
+        # torch keeps separate b_ih/b_hh, both init U(+-1/sqrt(H)); their sum
+        # is what the cell sees, so we store one vector drawn as a sum.
+        "b": u(k3, (4 * hidden,)) + u(jax.random.fold_in(k3, 1), (4 * hidden,)),
+    }
+
+
+def lstm_init(rng, input_size: int, hidden: int, num_layers: int,
+              bidirectional: bool = True) -> List[dict]:
+    layers = []
+    dirs = 2 if bidirectional else 1
+    for layer in range(num_layers):
+        in_f = input_size if layer == 0 else hidden * dirs
+        rng, kf, kb = jax.random.split(rng, 3)
+        entry = {"fwd": _direction_init(kf, in_f, hidden)}
+        if bidirectional:
+            entry["bwd"] = _direction_init(kb, in_f, hidden)
+        layers.append(entry)
+    return layers
+
+
+def _scan_direction(p: dict, x: jnp.ndarray, reverse: bool,
+                    h0: Optional[jnp.ndarray], c0: Optional[jnp.ndarray]
+                    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """One direction of one layer.  x: (B, T, F) -> (B, T, H)."""
+    b, t, _ = x.shape
+    hidden = p["wh"].shape[0]
+    xp = x @ p["wi"] + p["b"]                           # hoisted input proj
+    if reverse:
+        xp = jnp.flip(xp, axis=1)
+    xp = jnp.swapaxes(xp, 0, 1)                         # time-major (T, B, 4H)
+
+    h = jnp.zeros((b, hidden), x.dtype) if h0 is None else h0
+    c = jnp.zeros((b, hidden), x.dtype) if c0 is None else c0
+    wh = p["wh"]
+
+    def step(carry, gates_x):
+        h, c = carry
+        gates = gates_x + h @ wh
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h, c), xp)
+    ys = jnp.swapaxes(ys, 0, 1)                         # back to (B, T, H)
+    if reverse:
+        ys = jnp.flip(ys, axis=1)
+    return ys, (h, c)
+
+
+def lstm_apply(params: List[dict], x: jnp.ndarray,
+               dropout: float = 0.0, rng=None, train: bool = False
+               ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Run the full stack.
+
+    Args:
+      x: (B, T, F) batch-first input (torch ``batch_first=True``).
+    Returns:
+      (outputs (B, T, dirs*H),
+       (h_n, c_n) each (num_layers*dirs, B, H) in torch's layer-major,
+       fwd-then-bwd order -- the reference allocates but never consumes these).
+    """
+    hs, cs = [], []
+    out = x
+    last = len(params) - 1
+    for li, layer in enumerate(params):
+        y_f, (h_f, c_f) = _scan_direction(layer["fwd"], out, False, None, None)
+        hs.append(h_f)
+        cs.append(c_f)
+        if "bwd" in layer:
+            y_b, (h_b, c_b) = _scan_direction(layer["bwd"], out, True, None, None)
+            hs.append(h_b)
+            cs.append(c_b)
+            out = jnp.concatenate([y_f, y_b], axis=-1)
+        else:
+            out = y_f
+        if train and dropout > 0.0 and li != last:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - dropout
+            mask = jax.random.bernoulli(sub, keep, out.shape)
+            out = jnp.where(mask, out / keep, 0.0)
+    return out, (jnp.stack(hs), jnp.stack(cs))

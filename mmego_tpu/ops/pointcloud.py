@@ -1,0 +1,98 @@
+"""Point-cloud selection and grouping ops.
+
+TPU-native replacements for the reference's sort/gather index gymnastics:
+
+* ``select_top_x`` -- the lower stage's "keep the 64 points with the largest
+  x-coordinate" (``Net/Lower_Net.py:216-227``, a full descending sort + two
+  arange/repeat gather matrices) becomes one ``jax.lax.top_k`` + ``take_along_axis``.
+  All downstream consumers are permutation-invariant over points (per-point MLP
+  + sum-pooling), so top_k's ordering is equivalent to the reference's sort.
+
+* ``square_distance`` / ``ball_group`` -- the anchor-grouping primitives of the
+  local branch (``Net/Upper_Net.py:10-72``): pairwise squared distances with
+  all-zero (padding) target points masked to +inf, then k-nearest selection via
+  ``top_k`` on negated distances instead of a full sort.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def select_top_x(points: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep the k points with the largest x-coordinate.
+
+    Args:
+      points: (..., N, F) clouds with x in feature 0.
+    Returns:
+      (..., k, F).
+    """
+    x = points[..., 0]
+    _, idx = jax.lax.top_k(x, k)                       # (..., k)
+    return jnp.take_along_axis(points, idx[..., None], axis=-2)
+
+
+def square_distance(src: jnp.ndarray, dst: jnp.ndarray,
+                    mask_zero_dst: bool = True) -> jnp.ndarray:
+    """Pairwise squared Euclidean distance (Upper_Net.py:10-32).
+
+    Args:
+      src: (..., N, C); dst: (..., M, C).
+    Returns:
+      (..., N, M); columns whose dst point is exactly zero (cloud padding) are
+      +inf when ``mask_zero_dst``.
+    """
+    d = (
+        jnp.sum(src * src, axis=-1)[..., :, None]
+        + jnp.sum(dst * dst, axis=-1)[..., None, :]
+        - 2.0 * jnp.einsum("...nc,...mc->...nm", src, dst)
+    )
+    if mask_zero_dst:
+        zero = jnp.all(dst == 0, axis=-1)              # (..., M)
+        d = jnp.where(zero[..., None, :], jnp.inf, d)
+    return d
+
+
+def ball_group(nsample: int, xyz: jnp.ndarray, anchors: jnp.ndarray) -> jnp.ndarray:
+    """Indices of the nsample nearest cloud points to each anchor
+    (``point_ball_set``, Upper_Net.py:54-72).
+
+    Args:
+      xyz: (..., N, 3) cloud; anchors: (..., S, 3).
+    Returns:
+      (..., S, nsample) int32 indices into the cloud.
+    """
+    d = square_distance(anchors, xyz)                  # (..., S, N)
+    _, idx = jax.lax.top_k(-d, nsample)
+    return idx
+
+
+def anchor_grid(x_min=0.0, x_max=0.6, x_interval=0.3,
+                y_min=-0.3, y_max=0.3, y_interval=0.3,
+                z_min=-0.3, z_max=0.3, z_interval=0.3) -> jnp.ndarray:
+    """The 3x3x3 anchor lattice of the local branch (``AnchorInit``,
+    Upper_Net.py:75-97). Returns (z_size, y_size, x_size, 3)."""
+    xs = jnp.arange(round((x_max - x_min) / x_interval) + 1) * x_interval + x_min
+    ys = jnp.arange(round((y_max - y_min) / y_interval) + 1) * y_interval + y_min
+    zs = jnp.arange(round((z_max - z_min) / z_interval) + 1) * z_interval + z_min
+    zz, yy, xx = jnp.meshgrid(zs, ys, xs, indexing="ij")
+    return jnp.stack([xx, yy, zz], axis=-1).astype(jnp.float32)
+
+
+def anchor_grouping(anchors: jnp.ndarray, nsample: int,
+                    xyz: jnp.ndarray, feats: jnp.ndarray) -> jnp.ndarray:
+    """Group cloud points around each anchor (``AnchorGrouping``,
+    Upper_Net.py:100-119).
+
+    Args:
+      anchors: (..., S, 3); xyz: (..., N, 3); feats: (..., N, D).
+    Returns:
+      (..., S, nsample, 3 + 3 + D): anchor xyz, anchor-relative point xyz,
+      grouped point features.
+    """
+    idx = ball_group(nsample, xyz, anchors)            # (..., S, n)
+    g_xyz = jnp.take_along_axis(xyz[..., None, :, :], idx[..., None], axis=-2)
+    g_feat = jnp.take_along_axis(feats[..., None, :, :], idx[..., None], axis=-2)
+    g_anchor = jnp.broadcast_to(anchors[..., :, None, :], g_xyz.shape)
+    return jnp.concatenate([g_anchor, g_xyz - g_anchor, g_feat], axis=-1)

@@ -1,0 +1,26 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The ambient environment pre-imports JAX and registers a real-TPU PJRT plugin
+(JAX_PLATFORMS=axon) from sitecustomize, so env vars alone are too late --
+``jax.config.update`` must be used before any backend is initialised.  Tests
+run on CPU both for speed (no remote compile round-trips) and determinism
+(float32 parity tolerances; TPU matmuls default to bf16).  Multi-device
+sharding paths are exercised without hardware via
+``--xla_force_host_platform_device_count=8``.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", (
+    "tests must run on CPU; got " + str(jax.devices()[0]))
+assert jax.device_count() == 8, "expected an 8-device virtual CPU mesh"
