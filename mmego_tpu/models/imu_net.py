@@ -1,0 +1,76 @@
+"""Stage 1: IMU_Net -- head rotation + position from the IMU stream.
+
+Functional rebuild of ``Net/IMU_Net.py:50-94``: fc(15->512) -> 2-layer
+bidirectional "fast" LSTM over the 20 IMU samples of each frame -> attention
+pooling -> 2-layer bidirectional "slow" LSTM over the frame window ->
+fc(1024->9), first 6 channels orthogonalised to a rotation (rot6d), last 3 the
+head position.  ~23.1 M parameters; the reference's pretrained checkpoint is
+missing upstream (SURVEY.md §0) so this framework trains the stage itself.
+
+The reference model also owns an ``fc3`` layer (IMU_Net.py:55) that its
+forward pass never touches; it is omitted here.
+
+TPU shape strategy: both LSTM stacks flatten all leading dims into one big
+batch so each scan step is a single (B*, 512) @ (512, 2048) MXU matmul;
+the fast stack runs with B* = batch*frames.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmego_tpu.nn import layers, lstm
+from mmego_tpu.ops import rotation
+
+INPUT_FEATURES = 15
+HIDDEN = 512
+NUM_LAYERS = 2
+OUTPUT = 9
+
+
+def imu_net_init(rng, hidden: int = HIDDEN, num_layers: int = NUM_LAYERS) -> dict:
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    return {
+        "fc1": layers.linear_init(k1, INPUT_FEATURES, hidden),
+        "rnn_fast": lstm.lstm_init(k2, hidden, hidden, num_layers, True),
+        "attn": layers.linear_init(k3, 2 * hidden, 1),
+        "rnn_slow": lstm.lstm_init(k4, 2 * hidden, hidden, num_layers, True),
+        "fc2": layers.linear_init(k5, 2 * hidden, OUTPUT),
+    }
+
+
+def imu_net_apply(params: dict, imu: jnp.ndarray, dropout: float = 0.0,
+                  rng=None, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward pass.
+
+    Args:
+      imu: (B, L, N=20, 15) window of IMU packets.
+    Returns:
+      (R (B, L, 3, 3), t (B, L, 3)).
+    """
+    b, l, n, f = imu.shape
+    x = jax.nn.relu(layers.linear_apply(params["fc1"], imu))
+    x = x.reshape(b * l, n, -1)
+
+    if train and rng is not None:
+        rng, r_fast, r_slow = jax.random.split(rng, 3)
+    else:
+        r_fast = r_slow = None
+    fast, _ = lstm.lstm_apply(params["rnn_fast"], x, dropout, r_fast, train)
+
+    w = jax.nn.softmax(layers.linear_apply(params["attn"], fast), axis=1)
+    pooled = jnp.sum(fast * w, axis=1).reshape(b, l, -1)
+
+    slow, _ = lstm.lstm_apply(params["rnn_slow"], pooled, dropout, r_slow, train)
+
+    out = layers.linear_apply(params["fc2"], slow)      # (B, L, 9)
+    r = rotation.rot6d_to_matrix(out[..., :6])
+    t = out[..., 6:]
+    return r, t
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

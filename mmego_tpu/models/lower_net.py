@@ -1,0 +1,131 @@
+"""Stage 3: Lower_Net -- 8 lower-body joints from cloud + predicted skeleton.
+
+Functional rebuild of ``Net/Lower_Net.py:170-239``: transform cloud and the
+stage-2 skeleton to the head frame, keep the 64 largest-x points
+(``jax.lax.top_k`` instead of the reference's full sort + gather matrices,
+Lower_Net.py:216-227), encode points (BasePointNet 6->16->32->61 + xyz concat)
+and the skeleton (ST-GCN), fuse with single-head cross-attention + a 3-layer
+bidirectional LSTM, emit 6 rot6d rotations + both hip positions, run lower
+forward kinematics, and transform back.
+
+Reference quirks reproduced for checkpoint parity:
+  * the cloud arriving here has *already* been moved to the head frame by the
+    upper stage's in-place ``Transform2H``; this stage transforms it again
+    (see models/cascade.py).
+  * the fusion "attention pool" weights are Softmax over a singleton axis ==
+    1.0, i.e. a plain sum over points (Lower_Net.py:90,112-113).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mmego_tpu.nn import layers, lstm
+from mmego_tpu.ops import rotation, transforms, kinematics, pointcloud
+from mmego_tpu.models import stgcn
+
+NUM_JOINTS = 8
+NUM_ROT = 6
+BASE_CHANNELS = (6, 16, 32, 61)
+HIDDEN = 64
+RNN_LAYERS = 3
+RNN_DROPOUT = 0.1
+UPPER_JOINTS = 15
+
+
+def lower_net_init(rng, hidden: int = HIDDEN) -> Tuple[dict, dict]:
+    keys = jax.random.split(rng, 16)
+    params, state = {}, {}
+
+    # pointEncoder.module0: BasePointNet (Lower_Net.py:40-72)
+    pe_p, pe_s = [], []
+    for i in range(3):
+        p, s = layers.conv_bn_relu_init(keys[i], BASE_CHANNELS[i], BASE_CHANNELS[i + 1])
+        pe_p.append(p)
+        pe_s.append(s)
+    params["point_encoder"], state["point_encoder"] = pe_p, pe_s
+
+    # keyEncoder: ST-GCN over the predicted upper skeleton (Lower_Net.py:149-167)
+    params["gcn"], state["gcn"] = stgcn.stgcn_init(keys[3], hidden_dim=hidden)
+
+    # fusion (Lower_Net.py:75-136)
+    params["to_q"] = layers.linear_init(keys[4], hidden, hidden)
+    params["to_k"] = layers.linear_init(keys[5], hidden, hidden)
+    params["to_v"] = layers.linear_init(keys[6], hidden, hidden)
+    params["fusion_attn"] = layers.attn_pool_init(keys[7], 2 * hidden)
+    params["rnn_pk"] = lstm.lstm_init(keys[8], 3 * hidden, hidden, RNN_LAYERS, True)
+    params["fc0"] = layers.linear_init(keys[9], 2 * hidden + UPPER_JOINTS * 3, 128)
+    params["fc1"] = layers.linear_init(keys[10], 128, 64)
+    params["fc2"] = layers.linear_init(keys[11], 64, NUM_ROT * 6 + 2 * 3)
+    return params, state
+
+
+def lower_net_apply(params: dict, state: dict, upper_joints: jnp.ndarray,
+                    cloud: jnp.ndarray, bones: jnp.ndarray,
+                    r: jnp.ndarray, t: jnp.ndarray, lower_pc_no: int = 64,
+                    imu_used: bool = True, train: bool = False, rng=None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, dict]:
+    """Forward pass.
+
+    Args:
+      upper_joints: (B, L, 15, 3) stage-2 skeleton in the reference frame.
+      cloud: (B, L, N, 6) the cloud as mutated by the upper stage (head frame).
+      bones: (B, 20, 3); r/t: stage-1 head pose.
+    Returns:
+      (joints (B, L, 8, 3) in the reference frame,
+       q (B, L, 6, 3, 3),
+       new_state).
+    """
+    b, l, n, _ = cloud.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(HIDDEN, cloud.dtype))
+
+    x = transforms.to_head(cloud, r, t, imu_used)          # second transform
+    lower_x = pointcloud.select_top_x(x, lower_pc_no)      # (B, L, 64, 6)
+    upper_h = transforms.to_head(upper_joints, r, t, imu_used)
+
+    # Point branch.
+    p_vec = lower_x
+    new_pe = []
+    for p, s in zip(params["point_encoder"], state["point_encoder"]):
+        p_vec, ns = layers.conv_bn_relu_apply(p, s, p_vec, train)
+        new_pe.append(ns)
+    p_vec = jnp.concatenate([lower_x[..., :3], p_vec], axis=-1)   # (B, L, 64, 64)
+
+    # Skeleton branch (scrambled-layout features, see stgcn.py).
+    k_vec, new_gcn = stgcn.stgcn_apply(params["gcn"], state["gcn"], upper_h, train)
+
+    # Cross-attention fusion: queries from points, keys/values from joints.
+    t_q = layers.linear_apply(params["to_q"], p_vec)
+    t_k = layers.linear_apply(params["to_k"], k_vec)
+    t_v = layers.linear_apply(params["to_v"], k_vec)
+    attn = jax.nn.softmax(
+        jnp.einsum("...nc,...mc->...nm", t_q, t_k) * scale, axis=-1)
+    t_x = jnp.einsum("...nm,...mc->...nc", attn, t_v)      # (B, L, 64, 64)
+
+    new_p = jnp.concatenate([p_vec, t_x], axis=-1)         # (B, L, 64, 128)
+    # Degenerate reference pooling: weights are exactly 1 -> plain sum.
+    a_vec = layers.attn_pool_apply(params["fusion_attn"], new_p,
+                                   axis=-2, normalized=False)
+    k_pool = jnp.mean(k_vec, axis=-2)                      # (B, L, 64)
+
+    ak = jnp.concatenate([a_vec, k_pool], axis=-1)         # (B, L, 192)
+    ak, _ = lstm.lstm_apply(params["rnn_pk"], ak, RNN_DROPOUT, rng, train)
+
+    upper_flat = upper_h.reshape(b, l, UPPER_JOINTS * 3)
+    h = jnp.concatenate([ak, upper_flat], axis=-1)         # (B, L, 173)
+    h = jax.nn.relu(layers.linear_apply(params["fc0"], h))
+    h = jax.nn.relu(layers.linear_apply(params["fc1"], h))
+    out = layers.linear_apply(params["fc2"], h)            # (B, L, 42)
+
+    q = rotation.rot6d_to_matrix(out[..., : NUM_ROT * 6].reshape(b, l, NUM_ROT, 6))
+    hip_l = out[..., -6:-3]
+    hip_r = out[..., -3:]
+
+    joints_h = kinematics.fk_lower(q, bones[:, None], hip_l, hip_r)
+    joints = transforms.to_ref(joints_h, r, t, imu_used)
+
+    new_state = {"point_encoder": new_pe, "gcn": new_gcn}
+    return joints, q, new_state
