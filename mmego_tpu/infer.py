@@ -1,0 +1,207 @@
+"""Batched inference: the ``--infer`` benchmark path, one fused XLA program.
+
+Replaces the reference's per-window Python loop (``Demo_test.py:86-163``,
+batch 1, host->device copy per window, 29.5 it/s) with: dataset resident on
+device, cascade jit-compiled once, windows pushed through in large batches.
+The 835-window demo set is processed in ceil(835/infer_batch) dispatches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mmego_tpu.config import Config
+from mmego_tpu.data import dataset as dataset_mod
+from mmego_tpu.models import cascade, imu_net, upper_net, lower_net
+from mmego_tpu.checkpoint import store, torch_import
+from mmego_tpu.train import metrics as metrics_mod
+
+
+def load_cascade_params(cfg: Config) -> Tuple[cascade.CascadeParams, cascade.CascadeState]:
+    """Resolve the three stage checkpoints (.pth -> torch importer,
+    .npz -> native store), reproducing the reference's load cascade
+    (Demo_test.py:51-58)."""
+    if cfg.model_upper_path.endswith(".pth"):
+        upper_p, upper_s = torch_import.import_upper(cfg.model_upper_path)
+    else:
+        template_p, template_s = upper_net.upper_net_init(jax.random.PRNGKey(0))
+        upper_p = store.load(cfg.model_upper_path, template_p)
+        upper_s = store.load(os.path.splitext(cfg.model_upper_path)[0] + ".state.npz",
+                             template_s)
+    if cfg.model_lower_path.endswith(".pth"):
+        lower_p, lower_s = torch_import.import_lower(cfg.model_lower_path)
+    else:
+        template_p, template_s = lower_net.lower_net_init(jax.random.PRNGKey(0))
+        lower_p = store.load(cfg.model_lower_path, template_p)
+        lower_s = store.load(os.path.splitext(cfg.model_lower_path)[0] + ".state.npz",
+                             template_s)
+
+    if cfg.model_imu_path.endswith(".pth"):
+        imu_p = torch_import.import_imu(cfg.model_imu_path)
+    elif os.path.exists(cfg.model_imu_path):
+        imu_p = store.load(cfg.model_imu_path, imu_net.imu_net_init(jax.random.PRNGKey(0)))
+    else:
+        raise FileNotFoundError(
+            f"IMU_Net checkpoint not found at {cfg.model_imu_path}. The "
+            "reference repo ships no IMU checkpoint (SURVEY.md §0); train one "
+            "with `python main.py --train --network IMU_Net` or pass "
+            "--load_IMU_path.")
+    return (cascade.CascadeParams(imu=imu_p, upper=upper_p, lower=lower_p),
+            cascade.CascadeState(upper=upper_s, lower=lower_s))
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if len(x) == n:
+        return x
+    pad = np.repeat(x[-1:], n - len(x), axis=0)
+    return np.concatenate([x, pad], axis=0)
+
+
+_JIT_CACHE: dict = {}
+
+
+def jit_cascade(params, state, lower_pc_no: int = 64, imu_used: bool = True):
+    """One jitted cascade per (params, state, config) -- cached so warmup,
+    timing passes, and repeated evaluate() calls share a single compile."""
+    key = (id(params), id(state), lower_pc_no, imu_used)
+    if key not in _JIT_CACHE:
+        _JIT_CACHE[key] = jax.jit(
+            lambda c, i, b: cascade.cascade_apply(
+                params, state, c, i, b, lower_pc_no, imu_used))
+    return _JIT_CACHE[key]
+
+
+def run_cascade_batched(params, state, data, batch: int, lower_pc_no: int = 64,
+                        imu_used: bool = True, fn=None) -> Dict[str, np.ndarray]:
+    """Run the jitted cascade over all windows in fixed-size batches.
+
+    The final partial batch is padded (static shapes -> single compile) and
+    trimmed after.  Returns stacked host arrays for upper/lower/all.
+    """
+    if fn is None:
+        fn = jit_cascade(params, state, lower_pc_no, imu_used)
+    n = len(data)
+    outs = {"upper": [], "lower": [], "all": []}
+    for start in range(0, n, batch):
+        sl = data.take(slice(start, start + batch))
+        m = len(sl.cloud)
+        out = fn(jnp.asarray(_pad_to(sl.cloud, batch)),
+                 jnp.asarray(_pad_to(sl.imu, batch)),
+                 jnp.asarray(_pad_to(sl.bones, batch)))
+        for k in outs:
+            outs[k].append(np.asarray(out[k][:m]))
+    return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+def eval_imu_frames(cfg: Config, data=None, imu_params=None) -> Dict:
+    """Per-frame IMU error traces + plot (``Train_IMU.eval_all_imu``,
+    Train_IMU.py:187-218): geodesic rotation error in degrees and head
+    position error in cm for every frame of the vis split, in order."""
+    from mmego_tpu.models import imu_net as imu_mod
+    from mmego_tpu.ops import rotation as rot_mod
+    from mmego_tpu.viz import curves
+
+    if data is None:
+        data = dataset_mod.load_split(cfg, "vis")
+    if imu_params is None:
+        params, _ = load_cascade_params(cfg)
+        imu_params = params.imu
+    fn = jax.jit(lambda x: imu_mod.imu_net_apply(imu_params, x))
+    ang_l, pos_l = [], []
+    batch = min(cfg.infer_batch, len(data))
+    for start in range(0, len(data), batch):
+        sl = data.take(slice(start, min(start + batch, len(data))))
+        m = len(sl.imu)
+        r, t = fn(jnp.asarray(_pad_to(sl.imu, batch)))
+        ang = rot_mod.angle_minus_deg(r[:m], jnp.asarray(sl.r_r0r))
+        pos = jnp.sqrt(jnp.sum(jnp.square(
+            t[:m] - jnp.asarray(sl.key[:, :, 20, :])), axis=-1)) * 100.0
+        ang_l.extend(np.asarray(ang).reshape(-1).tolist())
+        pos_l.extend(np.asarray(pos).reshape(-1).tolist())
+    out_path = curves.draw_frame_loss(ang_l, pos_l, cfg)
+    return {"angle_deg": ang_l, "pos_cm": pos_l, "plot": out_path}
+
+
+def stage_timing(cfg: Config, data=None, params=None, state=None,
+                 repeats: int = 5) -> Dict[str, float]:
+    """Per-stage latency breakdown over one device batch (the TPU-native
+    equivalent of the reference's ad-hoc ``eval_hand`` stage timers,
+    Train_Lower.py:429-446).  Each stage is jitted separately; times are
+    best-of-``repeats`` with ``block_until_ready`` fencing."""
+    from mmego_tpu.models import imu_net as imu_mod
+    from mmego_tpu.models import upper_net as upper_mod
+    from mmego_tpu.models import lower_net as lower_mod
+
+    if data is None:
+        data = dataset_mod.load_split(cfg, "vis")
+    if params is None:
+        params, state = load_cascade_params(cfg)
+    batch = min(cfg.infer_batch, len(data))
+    sl = data.take(slice(0, batch))
+    cloud = jnp.asarray(sl.cloud)
+    imu = jnp.asarray(sl.imu)
+    bones = jnp.asarray(sl.bones)
+
+    imu_fn = jax.jit(lambda x: imu_mod.imu_net_apply(params.imu, x))
+    upper_fn = jax.jit(lambda c, b, r, t: upper_mod.upper_net_apply(
+        params.upper, state.upper, c, b, r, t, cfg.imu_used)[:3])
+    lower_fn = jax.jit(lambda u, c, b, r, t: lower_mod.lower_net_apply(
+        params.lower, state.lower, u, c, b, r, t, cfg.lower_pc_no,
+        cfg.imu_used)[0])
+
+    r, t = imu_fn(imu)
+    upper_l, _, cloud_h = upper_fn(cloud, bones, r, t)
+    lower_l = lower_fn(upper_l, cloud_h, bones, r, t)
+    jax.block_until_ready(lower_l)
+
+    out = {"batch_windows": batch}
+    for name, thunk in [
+        ("imu_s", lambda: imu_fn(imu)),
+        ("upper_s", lambda: upper_fn(cloud, bones, r, t)),
+        ("lower_s", lambda: lower_fn(upper_l, cloud_h, bones, r, t)),
+    ]:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(thunk())
+            best = min(best, time.perf_counter() - t0)
+        out[name] = best
+    return out
+
+
+def evaluate(cfg: Config, data=None, params=None, state=None,
+             time_it: bool = True, verbose: bool = True) -> Dict:
+    """The full --infer evaluation: metrics block + throughput."""
+    if data is None:
+        data = dataset_mod.load_split(cfg, "vis")
+    if params is None:
+        params, state = load_cascade_params(cfg)
+
+    batch = min(cfg.infer_batch, len(data))
+    # Warmup/compile dispatch outside the timed region (the reference's
+    # number includes no compile either -- torch eager).
+    _ = run_cascade_batched(params, state, data.take(slice(0, batch)), batch,
+                            cfg.lower_pc_no, cfg.imu_used)
+
+    t0 = time.perf_counter()
+    preds = run_cascade_batched(params, state, data, batch,
+                                cfg.lower_pc_no, cfg.imu_used)
+    elapsed = time.perf_counter() - t0
+
+    m = metrics_mod.pose_metrics(
+        jnp.asarray(preds["all"]), jnp.asarray(data.key),
+        jnp.asarray(preds["upper"]), jnp.asarray(preds["lower"]))
+    m["windows"] = len(data)
+    m["elapsed_s"] = elapsed
+    m["it_per_s"] = len(data) / elapsed
+    if verbose:
+        print(f"{len(data)}it [{elapsed:.2f}s, {m['it_per_s']:.2f}it/s]")
+        print(metrics_mod.format_report(m))
+    m["preds"] = preds
+    return m

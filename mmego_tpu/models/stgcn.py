@@ -78,7 +78,10 @@ def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
     y = layers.conv2d_apply(p["gcn_conv"], x)           # (N, K*C, T, V)
     n, kc, t, v = y.shape
     y = y.reshape(n, k, kc // k, t, v)
-    y = jnp.einsum("nkctv,kvw->nctw", y, a)
+    # jnp.einsum by default; fused Pallas kernel when MMEGO_PALLAS=1
+    # (inference paths only -- no VJP defined for the kernel).
+    from mmego_tpu.ops import pallas_kernels
+    y = pallas_kernels.gcn_contract(y, a)
 
     y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train, axis=1)
     y = jax.nn.relu(y)

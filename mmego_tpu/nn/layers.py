@@ -125,6 +125,12 @@ def attn_pool_apply(p: dict, x: jnp.ndarray, axis: int = -2,
     so every weight is exactly 1.0 and the "attention pool" degenerates to a
     plain sum -- kept for checkpoint parity.
     """
+    if normalized and axis == -2:
+        # Routed through ops/pallas_kernels.attn_pool: jnp fallback by
+        # default, hand-written fused kernel when MMEGO_PALLAS=1 (inference
+        # paths only -- the kernel defines no VJP).
+        from mmego_tpu.ops import pallas_kernels
+        return pallas_kernels.attn_pool(x, p["attn"]["w"], p["attn"]["b"])
     logits = linear_apply(p["attn"], x)                # (..., N, 1)
     if normalized:
         w = jax.nn.softmax(logits, axis=axis)

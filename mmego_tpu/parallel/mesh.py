@@ -1,0 +1,63 @@
+"""Device mesh + sharding policy: the distributed layer of the framework.
+
+The reference is single-process, single-device (SURVEY.md §2.9); here
+data-parallel scale-out is first-class and TPU-native: a 1-D
+``jax.sharding.Mesh`` over a ``data`` axis, batches sharded across it,
+parameters replicated, and gradient reduction left to XLA's GSPMD partitioner
+(collectives ride ICI; no explicit NCCL-analog layer).  A ``model`` axis slot
+is reserved in the axis vocabulary so tensor-parallel shardings can be added
+without API changes, but nothing in these model sizes warrants using it.
+
+Multi-host note: on a multi-host slice, call ``jax.distributed.initialize()``
+before ``make_mesh`` and feed per-host batch shards; the mesh spans all
+devices automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"  # reserved; always size 1 in current configs
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (window/batch) axis split across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place every array in a batch pytree with its leading axis sharded."""
+    s = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    s = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int):
+    """Pad the leading axis up to a multiple (returns array + real count)."""
+    n = len(x)
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    pad = np.repeat(x[-1:], rem, axis=0)
+    return np.concatenate([x, pad], axis=0), n

@@ -1,0 +1,361 @@
+"""Stage trainers: IMU_Net, Upper_Net, Lower_Net.
+
+Reproduces the reference training protocol (``Processor/Train/Train_*.py``):
+Adam (weight-decay 1e-3 for stage 1, matching torch Adam's L2-into-gradient
+semantics via ``optax.add_decayed_weights`` *before* the Adam moments), epoch
+loop with per-epoch eval, EarlyStopping(patience=30), checkpoint every 50
+epochs plus on stop, and ``report/{idx}/log-loss.txt`` / ``log-eval.txt``
+logging.  Frozen-upstream cascading follows Train_Upper.py:161-162 /
+Train_Lower.py:190-199 (upstream outputs detached).
+
+TPU-native differences: one jit-compiled train step over static batch shapes
+(final ragged batch padded + weight-masked instead of recompiled), dataset
+HBM-resident, and batches sharded over the data-parallel mesh
+(parallel/mesh.py) with gradient reduction left to GSPMD.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from mmego_tpu.config import Config, UPPER_JOINT_MAP, LOWER_JOINT_MAP
+from mmego_tpu.data import dataset as dataset_mod
+from mmego_tpu.models import imu_net, upper_net, lower_net
+from mmego_tpu.checkpoint import store, torch_import
+from mmego_tpu.parallel import mesh as mesh_mod
+from mmego_tpu.train import losses
+from mmego_tpu.utils.early_stopping import EarlyStopping
+
+
+# ---------------------------------------------------------------------------
+# Shared scaffolding
+# ---------------------------------------------------------------------------
+
+def _run_dirs(cfg: Config):
+    base = os.path.join(cfg.report_root, str(cfg.idx))
+    report = os.path.join(base, "report")
+    model = os.path.join(base, "model")
+    plots = os.path.join(base, "lossAndacc")
+    for d in (report, model, plots):
+        os.makedirs(d, exist_ok=True)
+    return base, report, model, plots
+
+
+def _optimizer(lr: float, weight_decay: float = 0.0):
+    steps = []
+    if weight_decay:
+        # torch Adam weight_decay folds wd*param into the gradient *before*
+        # the moment updates (Train_IMU.py:71-72) -- so decay goes first.
+        steps.append(optax.add_decayed_weights(weight_decay))
+    steps += [optax.scale_by_adam(), optax.scale(-lr)]
+    return optax.chain(*steps)
+
+
+def _pad_batch(arrays, batch: int):
+    """Pad each array's leading axis to ``batch``; return arrays + weights."""
+    n = len(arrays[0])
+    w = np.zeros((batch,), np.float32)
+    w[:n] = 1.0
+    padded = []
+    for a in arrays:
+        if n < batch:
+            a = np.concatenate([a, np.repeat(a[-1:], batch - n, axis=0)], axis=0)
+        padded.append(jnp.asarray(a))
+    return padded, jnp.asarray(w)
+
+
+def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields):
+    order = rng.permutation(len(data))
+    for start in range(0, len(data), batch):
+        idx = order[start:start + batch]
+        sl = data.take(idx)
+        yield _pad_batch([getattr(sl, f) for f in fields], batch)
+
+
+class _Logger:
+    def __init__(self, report_dir: str):
+        self.loss_f = open(os.path.join(report_dir, "log-loss.txt"), "w")
+        self.eval_f = open(os.path.join(report_dir, "log-eval.txt"), "w")
+
+    def loss(self, epoch: int, eval_loss: float, detail=""):
+        self.loss_f.write(f"{epoch} {eval_loss:f}\n")
+        if detail != "":
+            self.loss_f.write(f"{detail}\n")
+        self.loss_f.flush()
+
+    def eval(self, *cols):
+        self.eval_f.write(" ".join(str(c) for c in cols) + "\n")
+        self.eval_f.flush()
+
+    def close(self):
+        self.loss_f.close()
+        self.eval_f.close()
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: IMU_Net
+# ---------------------------------------------------------------------------
+
+def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
+              max_epochs: Optional[int] = None) -> Tuple[dict, str]:
+    """Train stage 1. Returns (params, final checkpoint path)."""
+    base, report, model_dir, _ = _run_dirs(cfg)
+    log = _Logger(report)
+    train = dataset_mod.load_split(cfg, "train")
+    test = dataset_mod.load_split(cfg, "test")
+
+    params = imu_net.imu_net_init(jax.random.PRNGKey(seed))
+    tx = _optimizer(cfg.lr, weight_decay=1e-3)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, imu, key, r_gt, w):
+        # stage-1 training runs the net with dropout 0 (Train_IMU.py:50)
+        r, t = imu_net.imu_net_apply(p, imu)
+        head_gt = key[:, :, 20, :]
+        return losses.imu_loss(r, t, r_gt, head_gt, w)
+
+    @jax.jit
+    def train_step(p, o, imu, key, r_gt, w):
+        loss, grads = jax.value_and_grad(loss_fn)(p, imu, key, r_gt, w)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    eval_step = jax.jit(loss_fn)
+
+    fields = ("imu", "key", "r_r0r")
+    stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    epochs = max_epochs or cfg.epochs
+    ckpt_path = None
+    denom_tr = cfg.frame_no
+    for epoch in range(epochs):
+        rng = np.random.RandomState(seed * 10007 + epoch)
+        t0 = time.time()
+        train_losses = []
+        for (imu, key, r_gt), w in _epoch_batches(train, cfg.batch_size, rng, fields):
+            params, opt_state, loss = train_step(params, opt_state, imu, key, r_gt, w)
+            train_losses.append(float(loss) / float(w.sum()) / denom_tr)
+        eval_losses = []
+        for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size, rng, fields):
+            eval_losses.append(float(eval_step(params, imu, key, r_gt, w))
+                               / float(w.sum()) / denom_tr)
+        train_loss = float(np.mean(train_losses))
+        eval_loss = float(np.mean(eval_losses))
+        log.loss(epoch + 1, eval_loss)
+        if verbose:
+            print(f"epoch {epoch + 1}: train {train_loss:.4f} eval {eval_loss:.4f} "
+                  f"({time.time() - t0:.1f}s)")
+        if (epoch + 1) % cfg.save_slot == 0 or stopper(eval_loss) \
+                or epoch + 1 == epochs:
+            ckpt_path = os.path.join(
+                model_dir, f"epoch{epoch}_batch{cfg.batch_size}"
+                           f"frame{cfg.frame_no}lr{cfg.lr}.npz")
+            store.save(ckpt_path, params)
+        if stopper.early_stop:
+            if verbose:
+                print("Early stopping")
+            break
+    log.close()
+    return params, ckpt_path
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: Upper_Net (frozen IMU)
+# ---------------------------------------------------------------------------
+
+def _load_imu_params(cfg: Config):
+    if cfg.model_imu_path.endswith(".pth"):
+        return torch_import.import_imu(cfg.model_imu_path)
+    return store.load(cfg.model_imu_path,
+                      imu_net.imu_net_init(jax.random.PRNGKey(0)))
+
+
+def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
+                max_epochs: Optional[int] = None):
+    base, report, model_dir, _ = _run_dirs(cfg)
+    log = _Logger(report)
+    train = dataset_mod.load_split(cfg, "train")
+    test = dataset_mod.load_split(cfg, "test")
+    imu_params = _load_imu_params(cfg)
+
+    params, state = upper_net.upper_net_init(jax.random.PRNGKey(seed))
+    if cfg.upper_pretrained:
+        if cfg.model_upper_path.endswith(".pth"):
+            params, state = torch_import.import_upper(cfg.model_upper_path)
+        else:
+            params = store.load(cfg.model_upper_path, params)
+    tx = _optimizer(cfg.lr)
+    opt_state = tx.init(params)
+    upper_map = jnp.asarray(UPPER_JOINT_MAP)
+
+    def forward_loss(p, st, cloud, key, imu, bones, w, rng, train_mode):
+        r, t = imu_net.imu_net_apply(imu_params, imu)
+        r = jax.lax.stop_gradient(r)
+        t = jax.lax.stop_gradient(t)
+        joints, _, _, new_st = upper_net.upper_net_apply(
+            p, st, cloud, bones, r, t, cfg.imu_used, train_mode, rng)
+        target = key[:, :, upper_map, :]
+        return losses.l1_sum(joints, target, w), (new_st, joints, target)
+
+    @jax.jit
+    def train_step(p, st, o, cloud, key, imu, bones, w, rng):
+        (loss, (new_st, _, _)), grads = jax.value_and_grad(
+            forward_loss, has_aux=True)(p, st, cloud, key, imu, bones, w, rng, True)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), new_st, o, loss
+
+    @jax.jit
+    def eval_step(p, st, cloud, key, imu, bones, w):
+        loss, (_, joints, target) = forward_loss(
+            p, st, cloud, key, imu, bones, w, None, False)
+        err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
+        wsum = jnp.sum(w) * cfg.frame_no * len(UPPER_JOINT_MAP)
+        acc = jnp.sum(err * w[:, None, None]) / wsum
+        return loss, acc
+
+    fields = ("cloud", "key", "imu", "bones")
+    stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    epochs = max_epochs or cfg.epochs
+    key_rng = jax.random.PRNGKey(seed + 1)
+    ckpt_path = None
+    for epoch in range(epochs):
+        rng = np.random.RandomState(seed * 10007 + epoch)
+        t0 = time.time()
+        for (cloud, key, imu, bones), w in _epoch_batches(
+                train, cfg.batch_size, rng, fields):
+            key_rng, sub = jax.random.split(key_rng)
+            params, state, opt_state, loss = train_step(
+                params, state, opt_state, cloud, key, imu, bones, w, sub)
+        eval_losses, eval_accs, wsum = [], [], 0.0
+        for (cloud, key, imu, bones), w in _epoch_batches(
+                test, cfg.batch_size, rng, fields):
+            loss, acc = eval_step(params, state, cloud, key, imu, bones, w)
+            eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
+            eval_accs.append(float(acc))
+        eval_loss = float(np.mean(eval_losses))
+        eval_acc = float(np.mean(eval_accs))
+        log.loss(epoch + 1, eval_loss)
+        log.eval(epoch + 1, eval_acc)
+        if verbose:
+            print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
+                  f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
+        if (epoch + 1) % cfg.save_slot == 0 or stopper(eval_loss) \
+                or epoch + 1 == epochs:
+            ckpt_path = os.path.join(
+                model_dir, f"epoch{epoch}_batch{cfg.batch_size}"
+                           f"frame{cfg.frame_no}lr{cfg.lr}.npz")
+            store.save(ckpt_path, params)
+            store.save(os.path.splitext(ckpt_path)[0] + ".state.npz", state)
+        if stopper.early_stop:
+            if verbose:
+                print("Early stopping")
+            break
+    log.close()
+    return (params, state), ckpt_path
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: Lower_Net (frozen IMU + Upper)
+# ---------------------------------------------------------------------------
+
+def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
+                max_epochs: Optional[int] = None):
+    base, report, model_dir, _ = _run_dirs(cfg)
+    log = _Logger(report)
+    train = dataset_mod.load_split(cfg, "train")
+    test = dataset_mod.load_split(cfg, "test")
+    imu_params = _load_imu_params(cfg)
+    if cfg.model_upper_path.endswith(".pth"):
+        upper_params, upper_state = torch_import.import_upper(cfg.model_upper_path)
+    else:
+        upper_params, upper_state = upper_net.upper_net_init(jax.random.PRNGKey(0))
+        upper_params = store.load(cfg.model_upper_path, upper_params)
+        upper_state = store.load(
+            os.path.splitext(cfg.model_upper_path)[0] + ".state.npz", upper_state)
+
+    params, state = lower_net.lower_net_init(jax.random.PRNGKey(seed))
+    if cfg.lower_pretrained:
+        if cfg.model_lower_path.endswith(".pth"):
+            params, state = torch_import.import_lower(cfg.model_lower_path)
+        else:
+            params = store.load(cfg.model_lower_path, params)
+    tx = _optimizer(cfg.lr)
+    opt_state = tx.init(params)
+    lower_map = jnp.asarray(LOWER_JOINT_MAP)
+
+    def forward_loss(p, st, cloud, key, imu, bones, w, rng, train_mode):
+        r, t = imu_net.imu_net_apply(imu_params, imu)
+        r = jax.lax.stop_gradient(r)
+        t = jax.lax.stop_gradient(t)
+        upper_l, _, cloud_h, _ = upper_net.upper_net_apply(
+            upper_params, upper_state, cloud, bones, r, t, cfg.imu_used)
+        upper_l = jax.lax.stop_gradient(upper_l)
+        cloud_h = jax.lax.stop_gradient(cloud_h)
+        joints, _, new_st = lower_net.lower_net_apply(
+            p, st, upper_l, cloud_h, bones, r, t, cfg.lower_pc_no,
+            cfg.imu_used, train_mode, rng)
+        target = key[:, :, lower_map, :]
+        return losses.l1_sum(joints, target, w), (new_st, joints, target)
+
+    @jax.jit
+    def train_step(p, st, o, cloud, key, imu, bones, w, rng):
+        (loss, (new_st, _, _)), grads = jax.value_and_grad(
+            forward_loss, has_aux=True)(p, st, cloud, key, imu, bones, w, rng, True)
+        updates, o = tx.update(grads, o, p)
+        return optax.apply_updates(p, updates), new_st, o, loss
+
+    @jax.jit
+    def eval_step(p, st, cloud, key, imu, bones, w):
+        loss, (_, joints, target) = forward_loss(
+            p, st, cloud, key, imu, bones, w, None, False)
+        err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
+        wsum = jnp.sum(w) * cfg.frame_no * len(LOWER_JOINT_MAP)
+        acc = jnp.sum(err * w[:, None, None]) / wsum
+        return loss, acc
+
+    fields = ("cloud", "key", "imu", "bones")
+    stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    epochs = max_epochs or cfg.epochs
+    key_rng = jax.random.PRNGKey(seed + 2)
+    ckpt_path = None
+    for epoch in range(epochs):
+        rng = np.random.RandomState(seed * 10007 + epoch)
+        t0 = time.time()
+        for (cloud, key, imu, bones), w in _epoch_batches(
+                train, cfg.batch_size, rng, fields):
+            key_rng, sub = jax.random.split(key_rng)
+            params, state, opt_state, loss = train_step(
+                params, state, opt_state, cloud, key, imu, bones, w, sub)
+        eval_losses, eval_accs = [], []
+        for (cloud, key, imu, bones), w in _epoch_batches(
+                test, cfg.batch_size, rng, fields):
+            loss, acc = eval_step(params, state, cloud, key, imu, bones, w)
+            eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
+            eval_accs.append(float(acc))
+        eval_loss = float(np.mean(eval_losses))
+        eval_acc = float(np.mean(eval_accs))
+        log.loss(epoch + 1, eval_loss)
+        log.eval(epoch + 1, eval_acc)
+        if verbose:
+            print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
+                  f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
+        if (epoch + 1) % cfg.save_slot == 0 or stopper(eval_loss) \
+                or epoch + 1 == epochs:
+            ckpt_path = os.path.join(
+                model_dir, f"epoch{epoch}_batch{cfg.batch_size}"
+                           f"frame{cfg.frame_no}lr{cfg.lr}.npz")
+            store.save(ckpt_path, params)
+            store.save(os.path.splitext(ckpt_path)[0] + ".state.npz", state)
+        if stopper.early_stop:
+            if verbose:
+                print("Early stopping")
+            break
+    log.close()
+    return (params, state), ckpt_path

@@ -1,0 +1,119 @@
+"""Loader golden tests vs the reference PosePC (fixture recorded by running
+the reference loader itself -- see the fixture block in tests/gen_fixtures.py
+history / loader_parity.npz).
+
+The point-cloud arrays are compared as *sets of real (non-zero) points* per
+frame: the reference pads with an unseeded RNG, so slot positions (and the
+subsample choice for frames with >128 points) are not reproducible -- only
+the underlying point content is.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from mmego_tpu.config import DEFAULT
+from mmego_tpu.data import dataset as dataset_mod
+from mmego_tpu.data import ingest as ingest_mod
+
+FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+_HAS_DATA = os.path.isdir(DEFAULT.data_root)
+
+needs_data = pytest.mark.skipif(not _HAS_DATA, reason="sample data absent")
+
+
+@pytest.fixture(scope="module")
+def packed():
+    if not _HAS_DATA:
+        pytest.skip("sample data absent")
+    return ingest_mod.load_or_ingest(
+        DEFAULT.data_root, DEFAULT.cache_dir, DEFAULT.frame_no,
+        DEFAULT.pc_no, DEFAULT.padding_seed, verbose=False)
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return dict(np.load(os.path.join(FIXDIR, "loader_parity.npz")))
+
+
+@needs_data
+def test_window_count_matches_readme(packed, fx):
+    assert len(packed["cloud"]) == int(fx["n_windows"][0]) == 835
+
+
+@needs_data
+def test_dense_arrays_match_reference(packed, fx):
+    np.testing.assert_allclose(packed["key"][:10], fx["key"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(packed["imu"][:10], fx["imu"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(packed["bones"][:10], fx["bones"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(packed["ground"][:10], fx["ground"].reshape(10, 20, 4),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(packed["foot_contact"][:10], fx["foot"])
+    np.testing.assert_allclose(packed["r_r0r"][:10], fx["r_r0r"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(packed["t_r0r"][:10], fx["t_r0r"].reshape(10, 20, 3),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(packed["r_rtw"][:10], fx["r_rtw"], rtol=1e-4, atol=1e-5)
+
+
+@needs_data
+def test_full_set_digests(packed, fx):
+    assert abs(np.float64(packed["key"]).mean() - fx["key_mean"][0]) < 1e-6
+    assert abs(np.float64(packed["imu"]).mean() - fx["imu_mean"][0]) < 1e-4
+
+
+@needs_data
+def test_cloud_point_content_matches(packed, fx):
+    """Real (non-zero) points per frame must match as unordered sets whenever
+    the frame wasn't subsampled (ref padding scatters the same points)."""
+    for w in range(10):
+        for f in range(20):
+            ours = packed["cloud"][w, f]
+            ref = fx["cloud"][w, f]
+            ours_real = ours[np.any(ours != 0, axis=1)]
+            ref_real = ref[np.any(ref != 0, axis=1)]
+            if len(ref_real) == 128 or len(ours_real) == 128:
+                continue  # subsampled frame: RNG-dependent subset
+            assert len(ours_real) == len(ref_real)
+            a = ours_real[np.lexsort(ours_real.T)]
+            b = ref_real[np.lexsort(ref_real.T)]
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+@needs_data
+def test_split_sizes_and_disjointness(packed):
+    train = dataset_mod.make_split(packed, "train")
+    test = dataset_mod.make_split(packed, "test")
+    assert len(train) == 668 and len(test) == 167
+    # same reference permutation prefix/suffix: disjoint by construction
+    ids_train = {a.tobytes() for a in train.imu}
+    ids_test = {a.tobytes() for a in test.imu}
+    assert not (ids_train & ids_test)
+
+
+@needs_data
+def test_action_vis_cap(packed):
+    vis = dataset_mod.make_split(packed, "action_vis", batch_per_action=3)
+    # cumulative cap: at most 3 windows per action, 13 actions
+    assert len(vis) <= 39
+    counts = np.bincount(vis.action, minlength=13)
+    assert counts.max() <= 3 + 2  # a sparse action may borrow budget
+
+
+def test_iter_batches_partial_last():
+    rng = np.random.RandomState(0)
+    packed = {
+        "cloud": rng.randn(7, 2, 4, 6).astype(np.float32),
+        "key": rng.randn(7, 2, 21, 3).astype(np.float32),
+        "imu": rng.randn(7, 2, 20, 15).astype(np.float32),
+        "bones": rng.randn(7, 20, 3).astype(np.float32),
+        "ground": rng.randn(7, 2, 4).astype(np.float32),
+        "foot_contact": rng.randn(7, 2, 2, 2).astype(np.float32),
+        "r_r0r": rng.randn(7, 2, 3, 3).astype(np.float32),
+        "t_r0r": rng.randn(7, 2, 3).astype(np.float32),
+        "r_rtw": rng.randn(7, 2, 3, 3).astype(np.float32),
+        "action": np.zeros(7, np.int32),
+    }
+    data = dataset_mod.make_split(packed, "vis")
+    batches = list(dataset_mod.iter_batches(data, 3))
+    assert [len(b) for b in batches] == [3, 3, 1]
