@@ -67,7 +67,10 @@ def load(path: str, like: Any) -> Any:
         want = np.shape(template)
         if tuple(arr.shape) != tuple(want):
             raise ValueError(f"leaf {key!r}: shape {arr.shape} != template {want}")
-        return jnp.asarray(arr)
+        # Stay host-side: callers device_put the whole tree once.  Per-leaf
+        # jnp.asarray here would issue hundreds of tiny H2D transfers, which
+        # is painfully slow over a tunneled TPU.
+        return arr.astype(np.float32) if arr.dtype == np.float64 else arr
 
     return rebuild(like)
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Tuple
 
 import numpy as np
-import jax.numpy as jnp
 
 
 def load_state_dict(path: str) -> dict:
@@ -31,25 +30,25 @@ def load_state_dict(path: str) -> dict:
 
 
 def _linear(sd, prefix):
-    return {"w": jnp.asarray(sd[f"{prefix}.weight"].T),
-            "b": jnp.asarray(sd[f"{prefix}.bias"])}
+    return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"].T),
+            "b": np.ascontiguousarray(sd[f"{prefix}.bias"])}
 
 
 def _pointwise(sd, prefix):
-    return {"w": jnp.asarray(sd[f"{prefix}.weight"][:, :, 0].T),
-            "b": jnp.asarray(sd[f"{prefix}.bias"])}
+    return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"][:, :, 0].T),
+            "b": np.ascontiguousarray(sd[f"{prefix}.bias"])}
 
 
 def _conv2d(sd, prefix):
-    return {"w": jnp.asarray(sd[f"{prefix}.weight"]),
-            "b": jnp.asarray(sd[f"{prefix}.bias"])}
+    return {"w": np.ascontiguousarray(sd[f"{prefix}.weight"]),
+            "b": np.ascontiguousarray(sd[f"{prefix}.bias"])}
 
 
 def _bn(sd, prefix):
-    params = {"scale": jnp.asarray(sd[f"{prefix}.weight"]),
-              "bias": jnp.asarray(sd[f"{prefix}.bias"])}
-    state = {"mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
-             "var": jnp.asarray(sd[f"{prefix}.running_var"])}
+    params = {"scale": np.ascontiguousarray(sd[f"{prefix}.weight"]),
+              "bias": np.ascontiguousarray(sd[f"{prefix}.bias"])}
+    state = {"mean": np.ascontiguousarray(sd[f"{prefix}.running_mean"]),
+             "var": np.ascontiguousarray(sd[f"{prefix}.running_var"])}
     return params, state
 
 
@@ -63,8 +62,8 @@ def _lstm(sd, prefix, num_layers, bidirectional=True):
             wh = sd[f"{prefix}.weight_hh_l{layer}{sfx}"]
             bi = sd[f"{prefix}.bias_ih_l{layer}{sfx}"]
             bh = sd[f"{prefix}.bias_hh_l{layer}{sfx}"]
-            entry[key] = {"wi": jnp.asarray(wi.T), "wh": jnp.asarray(wh.T),
-                          "b": jnp.asarray(bi + bh)}
+            entry[key] = {"wi": np.ascontiguousarray(wi.T), "wh": np.ascontiguousarray(wh.T),
+                          "b": np.ascontiguousarray(bi + bh)}
         layers.append(entry)
     return layers
 
@@ -112,7 +111,7 @@ def import_lower(path: str) -> Tuple[dict, dict]:
         [f"pointEncoder.module0.cb{i}" for i in (1, 2, 3)])
 
     g = "keyEncoder.gcn"
-    gcn_p = {"A": jnp.asarray(sd[f"{g}.A"]), "edge_importance": [], "blocks": []}
+    gcn_p = {"A": np.ascontiguousarray(sd[f"{g}.A"]), "edge_importance": [], "blocks": []}
     gcn_s = {"blocks": []}
     dbn_p, dbn_s = _bn(sd, f"{g}.data_bn")
     gcn_p["data_bn"], gcn_s["data_bn"] = dbn_p, dbn_s
@@ -130,7 +129,7 @@ def import_lower(path: str) -> Tuple[dict, dict]:
             "res_bn": res_p,
         })
         gcn_s["blocks"].append({"tcn_bn1": bn1_s, "tcn_bn2": bn2_s, "res_bn": res_s})
-        gcn_p["edge_importance"].append(jnp.asarray(sd[f"{g}.edge_importance.{i}"]))
+        gcn_p["edge_importance"].append(np.ascontiguousarray(sd[f"{g}.edge_importance.{i}"]))
     gcn_p["fcn"] = _conv2d(sd, f"{g}.fcn")
     params["gcn"], state["gcn"] = gcn_p, gcn_s
 

@@ -90,7 +90,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         else:
             from mmego_tpu import infer
             from mmego_tpu.viz import curves
-            m = infer.evaluate(cfg)
+            m = infer.evaluate(cfg, return_preds=False)
             curves.draw_joint_bar(m["per_joint_cm"].tolist(), cfg)
         if args.profile:
             import jax

@@ -112,13 +112,19 @@ class Config:
     # unseeded (Dataset_sample.py:215-224); we pin it for reproducibility.
     padding_seed: int = 0
 
-    # Checkpoint paths.  The IMU checkpoint is absent upstream (SURVEY.md §0);
-    # the default points at the checkpoint this framework trains itself.
+    # Checkpoint paths.  Defaults are this framework's own trained/fine-tuned
+    # weights under artifacts/ (the upstream repo ships no IMU checkpoint at
+    # all -- SURVEY.md §0 -- and its Upper/Lower weights pair with that lost
+    # IMU net).  infer.load_cascade_params falls back to the reference .pth
+    # files when an artifacts checkpoint is absent.
     model_imu_path: str = os.path.join(_REPO_ROOT, "artifacts", "imu_net.ckpt.npz")
-    model_upper_path: str = os.path.join(
+    model_upper_path: str = os.path.join(_REPO_ROOT, "artifacts", "upper_net.ckpt.npz")
+    model_lower_path: str = os.path.join(_REPO_ROOT, "artifacts", "lower_net.ckpt.npz")
+    # Reference torch checkpoints (importable directly via --load_*_path).
+    reference_upper_pth: str = os.path.join(
         _REPO_ROOT, "..", "reference", "Resource", "Pretrained_model",
         "Upper_Net", "epoch451_batch20frame20lr3e-05.pth")
-    model_lower_path: str = os.path.join(
+    reference_lower_pth: str = os.path.join(
         _REPO_ROOT, "..", "reference", "Resource", "Pretrained_model",
         "Lower_Net", "epoch161_batch20frame20lr0.0003.pth")
 

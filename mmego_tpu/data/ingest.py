@@ -62,15 +62,23 @@ def _numeric_key(path: str):
 
 def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
            padding_seed: int = 0,
-           joint_selection=None, skeleton=None) -> Dict[str, np.ndarray]:
+           joint_selection=None, skeleton=None,
+           layout: str = "sample") -> Dict[str, np.ndarray]:
     """Walk the .mat tree and build the packed window arrays.
+
+    layout='sample': ``{root}/{action}/{snippet}/*.mat`` -- the released
+    sample data (``Dataset_sample.py``).  layout='full': an extra subject
+    level ``{root}/{subject}/{action}/{snippet}/*.mat`` with per-subject
+    recalibration (``Dataset.py:118-123``; st/bone lengths reset per subject,
+    bone *directions* stay frozen from the first subject via
+    ``initial_body_unit``, Dataset.py:174-181) and a ``subject`` label array.
 
     Returns a dict of arrays, all with leading window axis W (835 for the
     released sample data at frame_no=20):
       cloud (W, L, 128, 6)  key (W, L, 21, 3)  imu (W, L, 20, 15)
       bones (W, 20, 3)      ground (W, L, 4)   foot_contact (W, L, 2, 2)
       r_r0r (W, L, 3, 3)    t_r0r (W, L, 3)    r_rtw (W, L, 3, 3)
-      action (W,) int32 action-directory index per window
+      action (W,) int32     [subject (W,) int32 when layout='full']
     """
     from mmego_tpu.config import KINECT_JOINT_SELECTION, SKELETON_ALL
     joint_selection = list(joint_selection or KINECT_JOINT_SELECTION)
@@ -79,11 +87,42 @@ def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
     rng = np.random.RandomState(padding_seed)
     loadmat = _make_loader()
     out = {k: [] for k in ARRAY_KEYS}
+    out["subject"] = []
+
+    if layout == "full":
+        subjects = [(s, os.path.join(data_root, s))
+                    for s in sorted(os.listdir(data_root))
+                    if os.path.isdir(os.path.join(data_root, s))]
+    elif layout == "sample":
+        subjects = [(None, data_root)]
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
+
+    initial_body_unit = None  # bone directions: frozen from first calibration
+    for subj_idx, (subj_name, subj_root) in enumerate(subjects):
+        sub_out, initial_body_unit = _ingest_subject(
+            subj_root, frame_no, pc_no, rng, loadmat, joint_selection,
+            skeleton, initial_body_unit)
+        for k in ARRAY_KEYS:
+            out[k].extend(sub_out[k])
+        out["subject"].extend([subj_idx] * len(sub_out["action"]))
+
+    packed = {k: np.stack(out[k]).astype(np.float32) for k in ARRAY_KEYS
+              if k != "action"}
+    packed["action"] = np.asarray(out["action"], dtype=np.int32)
+    if layout == "full":
+        packed["subject"] = np.asarray(out["subject"], dtype=np.int32)
+    return packed
+
+
+def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
+                    joint_selection, skeleton, initial_body_unit):
+    """One subject's walk: calibration state resets here (Dataset.py:120-122)."""
+    out = {k: [] for k in ARRAY_KEYS}
 
     action_dirs = sorted(os.listdir(data_root), key=int)
     calibrated = False
     r_ref = orientation_ref = None
-    initial_body_unit = None
     body_length = None
 
     for act, action_name in enumerate(action_dirs):
@@ -114,14 +153,21 @@ def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
                 r_btc = np.asarray(data["R_btc"])
 
                 if not calibrated:
-                    # First frame ever: freeze camera/IMU references and the
-                    # bone-direction table (Dataset_sample.py:163-178).
+                    # First frame of the subject: freeze camera/IMU references
+                    # and the bone table (Dataset_sample.py:163-178).  Bone
+                    # *directions* come from the very first calibration ever;
+                    # later subjects only rescale magnitudes
+                    # (Dataset.py:174-181).
                     r_ref = r_btc
                     orientation_ref = orientation
                     body = np.stack([key[p] - key[c] for p, c in skeleton])
-                    initial_body_unit = body / np.linalg.norm(
-                        body, axis=-1, keepdims=True)
-                    body_length = body.astype(np.float32)
+                    if initial_body_unit is None:
+                        initial_body_unit = body / np.linalg.norm(
+                            body, axis=-1, keepdims=True)
+                        body_length = body.astype(np.float32)
+                    else:
+                        norm = np.linalg.norm(body, axis=-1, keepdims=True)
+                        body_length = (norm * initial_body_unit).astype(np.float32)
                     calibrated = True
 
                 r_r0r = R_TTB @ r_ref @ r_btc.T @ R_TTB.T
@@ -186,31 +232,31 @@ def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
                 out["bones"].append(body_length)
                 out["action"].append(act)
 
-    packed = {k: np.stack(out[k]).astype(np.float32) for k in ARRAY_KEYS
-              if k != "action"}
-    packed["action"] = np.asarray(out["action"], dtype=np.int32)
-    return packed
+    return out, initial_body_unit
 
 
-def cache_key(data_root: str, frame_no: int, pc_no: int, padding_seed: int) -> str:
+def cache_key(data_root: str, frame_no: int, pc_no: int, padding_seed: int,
+              layout: str = "sample") -> str:
     h = hashlib.sha1()
     h.update(os.path.abspath(data_root).encode())
-    h.update(f"|{frame_no}|{pc_no}|{padding_seed}|v1".encode())
+    h.update(f"|{frame_no}|{pc_no}|{padding_seed}|{layout}|v1".encode())
     return h.hexdigest()[:16]
 
 
 def load_or_ingest(data_root: str, cache_dir: str, frame_no: int = 20,
                    pc_no: int = 128, padding_seed: int = 0,
-                   verbose: bool = True) -> Dict[str, np.ndarray]:
-    """Cached ingest: one .npz per (root, frame_no, pc_no, seed) tuple."""
+                   verbose: bool = True,
+                   layout: str = "sample") -> Dict[str, np.ndarray]:
+    """Cached ingest: one .npz per (root, frame_no, pc_no, seed, layout)."""
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(
-        cache_dir, f"mmego_{cache_key(data_root, frame_no, pc_no, padding_seed)}.npz")
+        cache_dir,
+        f"mmego_{cache_key(data_root, frame_no, pc_no, padding_seed, layout)}.npz")
     if os.path.exists(path):
         with np.load(path) as z:
             return {k: z[k] for k in z.files}
     if verbose:
         print(f"[ingest] packing {data_root} -> {path}")
-    packed = ingest(data_root, frame_no, pc_no, padding_seed)
+    packed = ingest(data_root, frame_no, pc_no, padding_seed, layout=layout)
     np.savez_compressed(path, **packed)
     return packed

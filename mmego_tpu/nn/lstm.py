@@ -60,9 +60,10 @@ def _scan_direction(p: dict, x: jnp.ndarray, reverse: bool,
     """One direction of one layer.  x: (B, T, F) -> (B, T, H)."""
     b, t, _ = x.shape
     hidden = p["wh"].shape[0]
-    xp = x @ p["wi"] + p["b"]                           # hoisted input proj
-    if reverse:
-        xp = jnp.flip(xp, axis=1)
+    # precision='highest' (true f32): the TPU backend's default bf16 matmul
+    # noise is amplified by the 20-step recurrence to centimetre-scale output
+    # deviations (measured vs CPU ground truth).
+    xp = jnp.einsum("btf,fg->btg", x, p["wi"], precision="highest") + p["b"]
     xp = jnp.swapaxes(xp, 0, 1)                         # time-major (T, B, 4H)
 
     h = jnp.zeros((b, hidden), x.dtype) if h0 is None else h0
@@ -71,17 +72,62 @@ def _scan_direction(p: dict, x: jnp.ndarray, reverse: bool,
 
     def step(carry, gates_x):
         h, c = carry
-        gates = gates_x + h @ wh
+        gates = gates_x + jnp.einsum("bh,hg->bg", h, wh, precision="highest")
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    (h, c), ys = jax.lax.scan(step, (h, c), xp)
+    # The reversed direction runs the SAME scan with reverse=True -- outputs
+    # land in original time positions, no data flips.  (jnp.flip on multi-GB
+    # tensors silently corrupts values on the tunneled TPU backend: measured
+    # 0.91 max error on the flipped direction at 16700x20x2048 while the
+    # unflipped direction was bit-exact.  See tests/test_lstm.py
+    # ::test_lstm_batch_invariance.)
+    (h, c), ys = jax.lax.scan(step, (h, c), xp, reverse=reverse)
     ys = jnp.swapaxes(ys, 0, 1)                         # back to (B, T, H)
-    if reverse:
-        ys = jnp.flip(ys, axis=1)
     return ys, (h, c)
+
+
+def _scan_bidirectional(layer: dict, x: jnp.ndarray):
+    """Both directions of one layer in a SINGLE scan (UNUSED -- kept as a
+    reference implementation).
+
+    In principle the fwd/bwd recurrences fuse into one batched ``dot_general``
+    over a direction axis, halving the sequential step count.  In practice the
+    (2, B, H) x (2, H, 4H) batched matmul is *batch-size unstable* on the TPU
+    backend (different tilings reassociate the K-reduction differently per
+    shape; the recurrence amplifies the difference to ~0.3 absolute after 20
+    steps, measured at B = 16700 vs 3340), while the plain 2-D per-direction
+    matmul is bit-stable across batch sizes.  lstm_apply therefore uses
+    per-direction scans; see tests/test_lstm.py::test_lstm_batch_invariance.
+    """
+    b, t, _ = x.shape
+    hidden = layer["fwd"]["wh"].shape[0]
+    wi = jnp.stack([layer["fwd"]["wi"], layer["bwd"]["wi"]])   # (2, F, 4H)
+    wh = jnp.stack([layer["fwd"]["wh"], layer["bwd"]["wh"]])   # (2, H, 4H)
+    bb = jnp.stack([layer["fwd"]["b"], layer["bwd"]["b"]])     # (2, 4H)
+
+    xp = jnp.einsum("btf,dfg->dbtg", x, wi) + bb[:, None, None, :]
+    # direction 1 consumes time reversed
+    xp = jnp.stack([xp[0], jnp.flip(xp[1], axis=1)])           # (2, B, T, 4H)
+    xp = jnp.moveaxis(xp, 2, 0)                                # (T, 2, B, 4H)
+
+    h0 = jnp.zeros((2, b, hidden), x.dtype)
+    c0 = jnp.zeros((2, b, hidden), x.dtype)
+
+    def step(carry, gates_x):
+        h, c = carry
+        gates = gates_x + jnp.einsum("dbh,dhg->dbg", h, wh)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    (h, c), ys = jax.lax.scan(step, (h0, c0), xp)              # ys (T, 2, B, H)
+    y_f = jnp.moveaxis(ys[:, 0], 0, 1)                         # (B, T, H)
+    y_b = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
+    return jnp.concatenate([y_f, y_b], axis=-1), (h[0], c[0]), (h[1], c[1])
 
 
 def lstm_apply(params: List[dict], x: jnp.ndarray,
@@ -100,16 +146,16 @@ def lstm_apply(params: List[dict], x: jnp.ndarray,
     out = x
     last = len(params) - 1
     for li, layer in enumerate(params):
-        y_f, (h_f, c_f) = _scan_direction(layer["fwd"], out, False, None, None)
-        hs.append(h_f)
-        cs.append(c_f)
         if "bwd" in layer:
+            y_f, (h_f, c_f) = _scan_direction(layer["fwd"], out, False, None, None)
             y_b, (h_b, c_b) = _scan_direction(layer["bwd"], out, True, None, None)
-            hs.append(h_b)
-            cs.append(c_b)
             out = jnp.concatenate([y_f, y_b], axis=-1)
+            hs += [h_f, h_b]
+            cs += [c_f, c_b]
         else:
-            out = y_f
+            out, (h_f, c_f) = _scan_direction(layer["fwd"], out, False, None, None)
+            hs.append(h_f)
+            cs.append(c_f)
         if train and dropout > 0.0 and li != last:
             rng, sub = jax.random.split(rng)
             keep = 1.0 - dropout

@@ -113,6 +113,9 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     test = dataset_mod.load_split(cfg, "test")
 
     params = imu_net.imu_net_init(jax.random.PRNGKey(seed))
+    if cfg.imu_pretrained:
+        # resume semantics (Train_IMU.py:52-53)
+        params = jax.device_put(_load_imu_params(cfg))
     tx = _optimizer(cfg.lr, weight_decay=1e-3)
     opt_state = tx.init(params)
 
@@ -183,7 +186,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
     log = _Logger(report)
     train = dataset_mod.load_split(cfg, "train")
     test = dataset_mod.load_split(cfg, "test")
-    imu_params = _load_imu_params(cfg)
+    imu_params = jax.device_put(_load_imu_params(cfg))
 
     params, state = upper_net.upper_net_init(jax.random.PRNGKey(seed))
     if cfg.upper_pretrained:
@@ -191,12 +194,16 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state = torch_import.import_upper(cfg.model_upper_path)
         else:
             params = store.load(cfg.model_upper_path, params)
+    params, state = jax.device_put((params, state))
     tx = _optimizer(cfg.lr)
     opt_state = tx.init(params)
     upper_map = jnp.asarray(UPPER_JOINT_MAP)
 
-    def forward_loss(p, st, cloud, key, imu, bones, w, rng, train_mode):
-        r, t = imu_net.imu_net_apply(imu_params, imu)
+    def forward_loss(p, st, imu_p, cloud, key, imu, bones, w, rng, train_mode):
+        # frozen upstream params ride as jit ARGUMENTS, not closures --
+        # closures would bake 23M weights into the HLO as constants and blow
+        # compile time up by minutes.
+        r, t = imu_net.imu_net_apply(imu_p, imu)
         r = jax.lax.stop_gradient(r)
         t = jax.lax.stop_gradient(t)
         joints, _, _, new_st = upper_net.upper_net_apply(
@@ -205,16 +212,17 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         return losses.l1_sum(joints, target, w), (new_st, joints, target)
 
     @jax.jit
-    def train_step(p, st, o, cloud, key, imu, bones, w, rng):
+    def train_step(p, st, o, imu_p, cloud, key, imu, bones, w, rng):
         (loss, (new_st, _, _)), grads = jax.value_and_grad(
-            forward_loss, has_aux=True)(p, st, cloud, key, imu, bones, w, rng, True)
+            forward_loss, has_aux=True)(
+            p, st, imu_p, cloud, key, imu, bones, w, rng, True)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), new_st, o, loss
 
     @jax.jit
-    def eval_step(p, st, cloud, key, imu, bones, w):
+    def eval_step(p, st, imu_p, cloud, key, imu, bones, w):
         loss, (_, joints, target) = forward_loss(
-            p, st, cloud, key, imu, bones, w, None, False)
+            p, st, imu_p, cloud, key, imu, bones, w, None, False)
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
         wsum = jnp.sum(w) * cfg.frame_no * len(UPPER_JOINT_MAP)
         acc = jnp.sum(err * w[:, None, None]) / wsum
@@ -232,11 +240,13 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
                 train, cfg.batch_size, rng, fields):
             key_rng, sub = jax.random.split(key_rng)
             params, state, opt_state, loss = train_step(
-                params, state, opt_state, cloud, key, imu, bones, w, sub)
-        eval_losses, eval_accs, wsum = [], [], 0.0
+                params, state, opt_state, imu_params, cloud, key, imu, bones,
+                w, sub)
+        eval_losses, eval_accs = [], []
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, rng, fields):
-            loss, acc = eval_step(params, state, cloud, key, imu, bones, w)
+            loss, acc = eval_step(params, state, imu_params, cloud, key, imu,
+                                  bones, w)
             eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
             eval_accs.append(float(acc))
         eval_loss = float(np.mean(eval_losses))
@@ -286,16 +296,21 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state = torch_import.import_lower(cfg.model_lower_path)
         else:
             params = store.load(cfg.model_lower_path, params)
+    params, state = jax.device_put((params, state))
+    frozen = jax.device_put((imu_params, upper_params, upper_state))
     tx = _optimizer(cfg.lr)
     opt_state = tx.init(params)
     lower_map = jnp.asarray(LOWER_JOINT_MAP)
 
-    def forward_loss(p, st, cloud, key, imu, bones, w, rng, train_mode):
-        r, t = imu_net.imu_net_apply(imu_params, imu)
+    def forward_loss(p, st, frozen, cloud, key, imu, bones, w, rng, train_mode):
+        # frozen = (imu_params, upper_params, upper_state) as jit args (see
+        # train_upper note on closure constants).
+        imu_p, upper_p, upper_st = frozen
+        r, t = imu_net.imu_net_apply(imu_p, imu)
         r = jax.lax.stop_gradient(r)
         t = jax.lax.stop_gradient(t)
         upper_l, _, cloud_h, _ = upper_net.upper_net_apply(
-            upper_params, upper_state, cloud, bones, r, t, cfg.imu_used)
+            upper_p, upper_st, cloud, bones, r, t, cfg.imu_used)
         upper_l = jax.lax.stop_gradient(upper_l)
         cloud_h = jax.lax.stop_gradient(cloud_h)
         joints, _, new_st = lower_net.lower_net_apply(
@@ -305,16 +320,17 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         return losses.l1_sum(joints, target, w), (new_st, joints, target)
 
     @jax.jit
-    def train_step(p, st, o, cloud, key, imu, bones, w, rng):
+    def train_step(p, st, o, frozen, cloud, key, imu, bones, w, rng):
         (loss, (new_st, _, _)), grads = jax.value_and_grad(
-            forward_loss, has_aux=True)(p, st, cloud, key, imu, bones, w, rng, True)
+            forward_loss, has_aux=True)(
+            p, st, frozen, cloud, key, imu, bones, w, rng, True)
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), new_st, o, loss
 
     @jax.jit
-    def eval_step(p, st, cloud, key, imu, bones, w):
+    def eval_step(p, st, frozen, cloud, key, imu, bones, w):
         loss, (_, joints, target) = forward_loss(
-            p, st, cloud, key, imu, bones, w, None, False)
+            p, st, frozen, cloud, key, imu, bones, w, None, False)
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
         wsum = jnp.sum(w) * cfg.frame_no * len(LOWER_JOINT_MAP)
         acc = jnp.sum(err * w[:, None, None]) / wsum
@@ -332,11 +348,13 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
                 train, cfg.batch_size, rng, fields):
             key_rng, sub = jax.random.split(key_rng)
             params, state, opt_state, loss = train_step(
-                params, state, opt_state, cloud, key, imu, bones, w, sub)
+                params, state, opt_state, frozen, cloud, key, imu, bones,
+                w, sub)
         eval_losses, eval_accs = [], []
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, rng, fields):
-            loss, acc = eval_step(params, state, cloud, key, imu, bones, w)
+            loss, acc = eval_step(params, state, frozen, cloud, key, imu,
+                                  bones, w)
             eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
             eval_accs.append(float(acc))
         eval_loss = float(np.mean(eval_losses))

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mmego_tpu.config import (
-    SKELETON_ALL, UPPER_JOINT_MAP, LOWER_JOINT_MAP, skeleton_all_np)
+    SKELETON_ALL, UPPER_JOINT_MAP, LOWER_JOINT_MAP, HAND_JOINT_MAP,
+    skeleton_all_np)
 from mmego_tpu.ops import rotation
 
 
@@ -30,6 +31,52 @@ def bone_vectors(joints: jnp.ndarray) -> jnp.ndarray:
     SKELETON_ALL (the ``leaf - root`` convention of Demo_test.py:65-66)."""
     edges = skeleton_all_np()
     return (joints[..., edges[:, 1], :] - joints[..., edges[:, 0], :])
+
+
+def metric_sums(pred_all: jnp.ndarray, target_all: jnp.ndarray,
+                upper_pred: jnp.ndarray, lower_pred: jnp.ndarray,
+                weights: jnp.ndarray = None) -> dict:
+    """Device-side metric accumulation for one batch: per-joint/bone error
+    SUMS over (W, L) plus element counts.  Keeps the eval loop free of bulk
+    D2H transfers -- only these tiny vectors leave the chip; the host divides
+    at the end.  jit-safe (all shapes static); ``weights`` (W,) zeroes padded
+    windows."""
+    target_upper = target_all[..., jnp.asarray(UPPER_JOINT_MAP), :]
+    target_lower = target_all[..., jnp.asarray(LOWER_JOINT_MAP), :]
+    err_all = joint_error(pred_all, target_all)            # (W, L, 21)
+    err_upper = joint_error(upper_pred, target_upper)
+    err_lower = joint_error(lower_pred, target_lower)
+    angles = rotation.bone_angle_error_deg(
+        bone_vectors(pred_all), bone_vectors(target_all))  # (W, L, 20)
+    if weights is None:
+        weights = jnp.ones(err_all.shape[0], err_all.dtype)
+    w3 = weights[:, None, None]
+    n = jnp.sum(weights) * err_all.shape[1]
+    return {
+        "joint_sum": jnp.sum(err_all * w3, axis=(0, 1)),   # (21,)
+        "upper_sum": jnp.sum(err_upper * w3),
+        "lower_sum": jnp.sum(err_lower * w3),
+        "bone_sum": jnp.sum(angles * w3, axis=(0, 1)),     # (20,)
+        "count": n,
+    }
+
+
+def finalize_metric_sums(sums_list) -> Dict[str, np.ndarray]:
+    """Combine per-batch metric_sums into the reference metric block."""
+    total = {k: sum(np.asarray(s[k], dtype=np.float64) for s in sums_list)
+             for k in sums_list[0]}
+    n = total["count"]
+    per_joint_cm = total["joint_sum"] / n * 100.0
+    per_bone_deg = total["bone_sum"] / n
+    return {
+        "avg_cm": float(per_joint_cm.mean()),
+        "upper_cm": float(total["upper_sum"] / (n * len(UPPER_JOINT_MAP))) * 100.0,
+        "lower_cm": float(total["lower_sum"] / (n * len(LOWER_JOINT_MAP))) * 100.0,
+        "rot_deg": float(per_bone_deg.mean()),
+        "per_joint_cm": per_joint_cm,
+        "per_bone_deg": per_bone_deg,
+        "hand_cm": per_joint_cm[list(HAND_JOINT_MAP)],
+    }
 
 
 def pose_metrics(pred_all: jnp.ndarray, target_all: jnp.ndarray,
@@ -62,6 +109,8 @@ def pose_metrics(pred_all: jnp.ndarray, target_all: jnp.ndarray,
         "rot_deg": float(per_bone_deg.mean()),
         "per_joint_cm": per_joint_cm,
         "per_bone_deg": per_bone_deg,
+        # wrist/elbow errors (Train_Upper.py:118 prints accu_ll[hand_joint_map])
+        "hand_cm": per_joint_cm[list(HAND_JOINT_MAP)],
     }
 
 

@@ -1,0 +1,91 @@
+"""Backend numerics self-check: detect silent accelerator miscompiles.
+
+The cascade is mathematically batch-invariant (every window is processed
+independently), which yields a free invariant to audit the compiler/runtime
+against: the same windows pushed through the jitted program at two different
+batch sizes must produce (near-)identical outputs.  A tunneled TPU backend
+was observed violating this badly (jnp.flip on multi-GB tensors corrupted
+values; see nn/lstm.py), so the benchmark and CI run this check rather than
+trusting the hardware.
+
+An optional CPU cross-check re-runs a few windows on the host backend (the
+ground truth the unit/parity tests are anchored to) and reports the deviation
+-- this bounds accumulated low-precision error, not just batch variance.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def batch_invariance(params, state, data, batch: int, probe: int = 16,
+                     lower_pc_no: int = 64, imu_used: bool = True) -> Dict:
+    """Max |output(batch=batch) - output(batch=probe)| over the probe windows."""
+    from mmego_tpu import infer
+
+    big = infer.run_cascade_batched(params, state, data.take(slice(0, batch)),
+                                    batch, lower_pc_no, imu_used)
+    small = infer.run_cascade_batched(params, state, data.take(slice(0, probe)),
+                                      probe, lower_pc_no, imu_used)
+    dev = {k: float(np.abs(big[k][:probe] - small[k]).max())
+           for k in ("upper", "lower", "all")}
+    dev["max"] = max(dev.values())
+    return dev
+
+
+def cpu_crosscheck(params, state, data, probe: int = 8,
+                   lower_pc_no: int = 64, imu_used: bool = True) -> Dict:
+    """Max deviation of TPU outputs from the CPU backend on probe windows."""
+    from mmego_tpu import infer
+    from mmego_tpu.models import cascade
+
+    sub = data.take(slice(0, probe))
+    dev_probe = infer.run_cascade_batched(params, state, sub, probe,
+                                          lower_pc_no, imu_used)
+
+    cpu = jax.devices("cpu")[0]
+    host_p = jax.device_get(params)
+    host_s = jax.device_get(state)
+    p_cpu, s_cpu = jax.device_put((host_p, host_s), cpu)
+    fn = jax.jit(cascade.cascade_apply, static_argnums=(5, 6), backend="cpu")
+    out = fn(p_cpu, s_cpu,
+             jax.device_put(jnp.asarray(sub.cloud), cpu),
+             jax.device_put(jnp.asarray(sub.imu), cpu),
+             jax.device_put(jnp.asarray(sub.bones), cpu),
+             lower_pc_no, imu_used)
+    dev = {k: float(np.abs(dev_probe[k] - np.asarray(out[k])).max())
+           for k in ("upper", "lower", "all")}
+    dev["max"] = max(dev.values())
+    return dev
+
+
+def run(params, state, data, batch: int, lower_pc_no: int = 64,
+        imu_used: bool = True, tol_batch: float = 5e-3,
+        tol_cpu: Optional[float] = None, verbose: bool = True) -> bool:
+    """Full self-check; returns True when the backend passes.
+
+    tol_batch: allowed batch-invariance violation in metres (5 mm default --
+    genuine low-precision noise stays well under this; miscompiles blow
+    through it by orders of magnitude).
+    """
+    bi = batch_invariance(params, state, data, batch,
+                          lower_pc_no=lower_pc_no, imu_used=imu_used)
+    ok = bi["max"] <= tol_batch
+    if verbose:
+        status = "ok" if ok else "VIOLATION"
+        print(f"[selfcheck] batch-invariance max dev {bi['max']:.2e} m "
+              f"(tol {tol_batch:.0e}) -> {status}")
+    if tol_cpu is not None:
+        cc = cpu_crosscheck(params, state, data,
+                            lower_pc_no=lower_pc_no, imu_used=imu_used)
+        cpu_ok = cc["max"] <= tol_cpu
+        if verbose:
+            status = "ok" if cpu_ok else "VIOLATION"
+            print(f"[selfcheck] cpu-crosscheck max dev {cc['max']:.2e} m "
+                  f"(tol {tol_cpu:.0e}) -> {status}")
+        ok = ok and cpu_ok
+    return ok

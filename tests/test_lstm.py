@@ -58,6 +58,21 @@ def test_lstm_init_shapes():
     assert y.shape == (2, 5, 1024)
 
 
+def test_lstm_batch_invariance():
+    """Per-row outputs must not depend on which batch they rode in.
+
+    Regression guard for a TPU-backend corruption where ``jnp.flip`` on
+    multi-GB tensors silently altered the reversed direction's values at
+    large batch; the fix runs the backward direction via
+    ``lax.scan(reverse=True)`` with no flips anywhere in the LSTM."""
+    params = jlstm.lstm_init(jax.random.PRNGKey(3), 32, 32, 2, True)
+    rng = np.random.RandomState(4)
+    x = rng.randn(64, 20, 32).astype(np.float32)
+    full, _ = jlstm.lstm_apply(params, jnp.asarray(x))
+    part, _ = jlstm.lstm_apply(params, jnp.asarray(x[:16]))
+    np.testing.assert_array_equal(np.asarray(full)[:16], np.asarray(part))
+
+
 def test_lstm_dropout_only_in_train():
     params = jlstm.lstm_init(jax.random.PRNGKey(1), 8, 8, 2, True)
     x = jnp.ones((2, 4, 8))
