@@ -132,7 +132,7 @@ class Config:
     report_root: str = os.path.join(_REPO_ROOT, "runs")
 
     # Runtime.
-    infer_batch: int = 167      # windows per device batch during inference
+    infer_batch: int = 835      # windows per device batch during inference
     compute_dtype: str = "float32"
 
     def replace(self, **kw) -> "Config":

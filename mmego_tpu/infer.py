@@ -184,21 +184,28 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
         params.lower, state.lower, u, c, b, r, t, cfg.lower_pc_no,
         cfg.imu_used)[0])
 
+    def _sync(tree):
+        # block_until_ready does not reliably wait on tunneled TPU backends;
+        # fetching forces real completion.
+        for leaf in jax.tree.leaves(tree):
+            np.asarray(leaf)
+
     r, t = imu_fn(imu)
     upper_l, _, cloud_h = upper_fn(cloud, bones, r, t)
     lower_l = lower_fn(upper_l, cloud_h, bones, r, t)
-    jax.block_until_ready(lower_l)
+    _sync(lower_l)
 
     out = {"batch_windows": batch}
     for name, thunk in [
-        ("imu_s", lambda: imu_fn(imu)),
-        ("upper_s", lambda: upper_fn(cloud, bones, r, t)),
+        ("imu_s", lambda: imu_fn(imu)[0]),
+        ("upper_s", lambda: upper_fn(cloud, bones, r, t)[0]),
         ("lower_s", lambda: lower_fn(upper_l, cloud_h, bones, r, t)),
     ]:
+        _sync(thunk())  # warm
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(thunk())
+            _sync(thunk())
             best = min(best, time.perf_counter() - t0)
         out[name] = best
     return out
