@@ -37,6 +37,12 @@ _PRECISION = os.environ.get("MMEGO_LSTM_PRECISION", "default")
 if _PRECISION == "default":
     _PRECISION = None
 
+# MMEGO_PALLAS=1 routes inference recurrences through the hand-written
+# Pallas kernel (ops/pallas_lstm.py: whole recurrence in one kernel launch,
+# weights VMEM-resident, inputs streamed).  Forward-only -- training paths
+# (train=True or under grad) must keep the scan.
+_USE_PALLAS = os.environ.get("MMEGO_PALLAS", "0") == "1"
+
 
 def _direction_init(rng, in_f: int, hidden: int) -> dict:
     k1, k2, k3 = jax.random.split(rng, 3)
@@ -150,10 +156,30 @@ def lstm_apply(params: List[dict], x: jnp.ndarray,
        (h_n, c_n) each (num_layers*dirs, B, H) in torch's layer-major,
        fwd-then-bwd order -- the reference allocates but never consumes these).
     """
+    use_pallas = _USE_PALLAS and not train
+    if use_pallas:
+        from mmego_tpu.ops import pallas_lstm
+
     hs, cs = [], []
     out = x
     last = len(params) - 1
     for li, layer in enumerate(params):
+        if use_pallas:
+            # kernel path: final h/c are not materialised (never consumed by
+            # the reference architecture); zero placeholders keep the API.
+            hidden = layer["fwd"]["wh"].shape[0]
+            zero = jnp.zeros((x.shape[0], hidden), x.dtype)
+            if "bwd" in layer:
+                y_f = pallas_lstm.lstm_scan_direction(layer["fwd"], out, False)
+                y_b = pallas_lstm.lstm_scan_direction(layer["bwd"], out, True)
+                out = jnp.concatenate([y_f, y_b], axis=-1)
+                hs += [zero, zero]
+                cs += [zero, zero]
+            else:
+                out = pallas_lstm.lstm_scan_direction(layer["fwd"], out, False)
+                hs.append(zero)
+                cs.append(zero)
+            continue
         if "bwd" in layer:
             y_f, (h_f, c_f) = _scan_direction(layer["fwd"], out, False, None, None)
             y_b, (h_b, c_b) = _scan_direction(layer["bwd"], out, True, None, None)

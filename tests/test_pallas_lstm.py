@@ -1,0 +1,53 @@
+"""Pallas LSTM recurrence kernel vs the lax.scan reference (interpret mode;
+the same kernel is bit-exact against the scan on real TPU hardware)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from mmego_tpu.nn import lstm as lstm_mod
+from mmego_tpu.ops import pallas_lstm
+
+
+@pytest.mark.parametrize("reverse", [False, True])
+def test_kernel_matches_scan(reverse):
+    params = lstm_mod.lstm_init(jax.random.PRNGKey(0), 64, 32, 1, True)
+    p = params[0]["bwd" if reverse else "fwd"]
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(100, 20, 64).astype(np.float32))
+    want, _ = lstm_mod._scan_direction(p, x, reverse, None, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_lstm.lstm_scan_direction(p, x, reverse)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_pads_ragged_batch():
+    params = lstm_mod.lstm_init(jax.random.PRNGKey(1), 16, 16, 1, True)
+    p = params[0]["fwd"]
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(7, 5, 16).astype(np.float32))  # 7 % BLOCK_B != 0
+    want, _ = lstm_mod._scan_direction(p, x, False, None, None)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_lstm.lstm_scan_direction(p, x, False)
+    assert got.shape == (7, 5, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lstm_apply_pallas_gate(monkeypatch):
+    """MMEGO_PALLAS routes eval-mode lstm_apply through the kernel."""
+    monkeypatch.setattr(lstm_mod, "_USE_PALLAS", True)
+    params = lstm_mod.lstm_init(jax.random.PRNGKey(2), 12, 8, 2, True)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 6, 12).astype(np.float32))
+    monkeypatch.setattr(lstm_mod, "_USE_PALLAS", False)
+    want, _ = lstm_mod.lstm_apply(params, x)
+    monkeypatch.setattr(lstm_mod, "_USE_PALLAS", True)
+    with pltpu.force_tpu_interpret_mode():
+        got, _ = lstm_mod.lstm_apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
