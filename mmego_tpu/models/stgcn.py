@@ -78,10 +78,10 @@ def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
     y = layers.conv2d_apply(p["gcn_conv"], x)           # (N, K*C, T, V)
     n, kc, t, v = y.shape
     y = y.reshape(n, k, kc // k, t, v)
-    # jnp.einsum by default; fused Pallas kernel when MMEGO_PALLAS=1
-    # (inference paths only -- no VJP defined for the kernel).
+    # jnp.einsum by default; fused Pallas kernel when MMEGO_PALLAS=1.  The
+    # kernel defines no VJP, so training always takes the jnp path.
     from mmego_tpu.ops import pallas_kernels
-    y = pallas_kernels.gcn_contract(y, a)
+    y = pallas_kernels.gcn_contract(y, a, use_pallas=False if train else None)
 
     y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train, axis=1)
     y = jax.nn.relu(y)
@@ -112,9 +112,13 @@ def stgcn_apply(params: dict, state: dict, joints: jnp.ndarray,
     x = x.reshape(b, t, v, c).transpose(0, 3, 1, 2)
 
     new_blocks = []
+    # A is a fixed buffer in the reference (register_buffer, GCN.py:306-307):
+    # only edge_importance trains.  stop_gradient keeps Adam from drifting
+    # the normalized skeleton adjacency.
+    a_fixed = jax.lax.stop_gradient(params["A"])
     for p_blk, s_blk, imp in zip(params["blocks"], state["blocks"],
                                  params["edge_importance"]):
-        x, ns = _block_apply(p_blk, s_blk, x, params["A"] * imp, train)
+        x, ns = _block_apply(p_blk, s_blk, x, a_fixed * imp, train)
         new_blocks.append(ns)
 
     x = layers.conv2d_apply(params["fcn"], x)           # (B, H, T, V)

@@ -83,7 +83,8 @@ def upper_local_init(rng) -> Tuple[dict, dict]:
 
     vox_p, vox_s = [], []
     for i, k in enumerate((3, 1, 1)):
-        cp = _conv3d_init(keys[12], VOXEL_CHANNELS[i], VOXEL_CHANNELS[i + 1], k)
+        cp = _conv3d_init(jax.random.fold_in(keys[12], i),
+                          VOXEL_CHANNELS[i], VOXEL_CHANNELS[i + 1], k)
         bp, bs = layers.bn_init(VOXEL_CHANNELS[i + 1])
         vox_p.append({"conv": cp, "bn": bp})
         vox_s.append({"bn": bs})
@@ -117,8 +118,12 @@ def upper_local_apply(params: dict, state: dict, cloud: jnp.ndarray,
     for p, s in zip(params["global_pointnet"], state["global_pointnet"]):
         g, ns = layers.conv_bn_relu_apply(p, s, g, train)
         new_gp.append(ns)
-    g = layers.attn_pool_apply(params["global_attn"], g, axis=-2)
-    g_vec, _ = lstm.lstm_apply(params["grnn"], g, RNN_DROPOUT, rng, train)
+    g = layers.attn_pool_apply(params["global_attn"], g, axis=-2, train=train)
+    if rng is not None:
+        rng_g, rng_a = jax.random.split(rng)
+    else:
+        rng_g = rng_a = None
+    g_vec, _ = lstm.lstm_apply(params["grnn"], g, RNN_DROPOUT, rng_g, train)
 
     # ---- local branch: anchor grouping over the 3x3x3 lattice
     anchors = pointcloud.anchor_grid().reshape(1, 1, 27, 3)
@@ -131,7 +136,8 @@ def upper_local_apply(params: dict, state: dict, cloud: jnp.ndarray,
     for p, s in zip(params["local_pointnet"], state["local_pointnet"]):
         v, ns = layers.conv_bn_relu_apply(p, s, v, train)
         new_lp.append(ns)
-    v = layers.attn_pool_apply(params["local_attn"], v, axis=-2)  # (B, L, 27, 64)
+    v = layers.attn_pool_apply(params["local_attn"], v, axis=-2,
+                               train=train)      # (B, L, 27, 64)
 
     v = v.reshape(b * l, 3, 3, 3, 64)
     new_vox = []
@@ -144,7 +150,7 @@ def upper_local_apply(params: dict, state: dict, cloud: jnp.ndarray,
         v = jax.nn.relu(v)
         new_vox.append({"bn": bns})
     v = v.reshape(b, l, 64)
-    a_vec, _ = lstm.lstm_apply(params["arnn"], v, RNN_DROPOUT, rng, train)
+    a_vec, _ = lstm.lstm_apply(params["arnn"], v, RNN_DROPOUT, rng_a, train)
 
     # ---- combine
     h = jnp.concatenate([g_vec, a_vec], axis=-1)                  # (B, L, 256)

@@ -96,7 +96,8 @@ def upper_net_apply(params: dict, state: dict, cloud: jnp.ndarray,
     for p, s in zip(params["global_pointnet"], state["global_pointnet"]):
         x, ns = layers.conv_bn_relu_apply(p, s, x, train)
         new_gp.append(ns)
-    g = layers.attn_pool_apply(params["global_attn"], x, axis=-2)  # (B, L, 64)
+    g = layers.attn_pool_apply(params["global_attn"], x, axis=-2,
+                               train=train)      # (B, L, 64)
 
     g_vec, _ = lstm.lstm_apply(params["grnn"], g, RNN_DROPOUT, rng, train)
 

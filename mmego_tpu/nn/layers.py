@@ -115,7 +115,7 @@ def attn_pool_init(rng, features: int) -> dict:
 
 
 def attn_pool_apply(p: dict, x: jnp.ndarray, axis: int = -2,
-                    normalized: bool = True) -> jnp.ndarray:
+                    normalized: bool = True, train: bool = False) -> jnp.ndarray:
     """softmax-weighted sum over ``axis``.
 
     ``normalized=True`` is the GlobalPointNet/IMU pooling
@@ -125,10 +125,10 @@ def attn_pool_apply(p: dict, x: jnp.ndarray, axis: int = -2,
     so every weight is exactly 1.0 and the "attention pool" degenerates to a
     plain sum -- kept for checkpoint parity.
     """
-    if normalized and axis == -2:
+    if normalized and axis == -2 and not train:
         # Routed through ops/pallas_kernels.attn_pool: jnp fallback by
-        # default, hand-written fused kernel when MMEGO_PALLAS=1 (inference
-        # paths only -- the kernel defines no VJP).
+        # default, hand-written fused kernel when MMEGO_PALLAS=1.  The kernel
+        # defines no VJP, hence the ``not train`` gate.
         from mmego_tpu.ops import pallas_kernels
         return pallas_kernels.attn_pool(x, p["attn"]["w"], p["attn"]["b"])
     logits = linear_apply(p["attn"], x)                # (..., N, 1)

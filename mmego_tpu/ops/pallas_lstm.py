@@ -74,11 +74,13 @@ def lstm_scan_direction(p: dict, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
       outputs (B, T, H) (final h/c are not materialised -- the reference
       architecture never consumes them).
     """
+    from mmego_tpu.nn.lstm import _PRECISION  # honor MMEGO_LSTM_PRECISION
+
     b, t, _ = x.shape
     hidden = p["wh"].shape[0]
     # Time-major (T, B, 4H): TPU block shapes constrain the last two dims, so
     # the per-step tile must be a (1, BLOCK_B, 4H) leading-time slab.
-    xp = jnp.einsum("btf,fg->tbg", x, p["wi"]) + p["b"]
+    xp = jnp.einsum("btf,fg->tbg", x, p["wi"], precision=_PRECISION) + p["b"]
 
     bp = _round_up(b, BLOCK_B)
     if bp != b:

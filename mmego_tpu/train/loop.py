@@ -8,10 +8,12 @@ epochs plus on stop, and ``report/{idx}/log-loss.txt`` / ``log-eval.txt``
 logging.  Frozen-upstream cascading follows Train_Upper.py:161-162 /
 Train_Lower.py:190-199 (upstream outputs detached).
 
-TPU-native differences: one jit-compiled train step over static batch shapes
-(final ragged batch padded + weight-masked instead of recompiled), dataset
-HBM-resident, and batches sharded over the data-parallel mesh
-(parallel/mesh.py) with gradient reduction left to GSPMD.
+TPU-native differences: jit-compiled train steps (eval batches padded +
+weight-masked; train batches keep the exact ragged tail so train-mode
+BatchNorm statistics never see duplicated rows), dataset HBM-resident, and --
+when more than one device is visible -- batches sharded over the data-parallel
+mesh (parallel/mesh.py) with parameters replicated and gradient reduction
+left to GSPMD.
 """
 
 from __future__ import annotations
@@ -72,12 +74,38 @@ def _pad_batch(arrays, batch: int):
     return padded, jnp.asarray(w)
 
 
-def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields):
+def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields,
+                   pad: bool = True):
+    """Shuffled batches.  pad=True gives fixed shapes (padded tail, masked
+    weights; safe when BN runs on running stats).  pad=False yields the exact
+    ragged final batch (one extra compile) -- required when train-mode
+    BatchNorm statistics must not see duplicated padding rows (the reference
+    runs the smaller ragged batch through BN as-is)."""
     order = rng.permutation(len(data))
     for start in range(0, len(data), batch):
         idx = order[start:start + batch]
         sl = data.take(idx)
-        yield _pad_batch([getattr(sl, f) for f in fields], batch)
+        arrays = [getattr(sl, f) for f in fields]
+        if pad:
+            yield _pad_batch(arrays, batch)
+        else:
+            yield ([jnp.asarray(a) for a in arrays],
+                   jnp.ones((len(idx),), jnp.float32))
+
+
+def _data_mesh():
+    """Data-parallel mesh across all local devices (None when single-device:
+    the common one-chip case needs no sharding machinery)."""
+    return mesh_mod.make_mesh() if jax.device_count() > 1 else None
+
+
+def _shard(mesh, arrays, w):
+    """Split a batch across the mesh's data axis (GSPMD inserts the gradient
+    reduction); falls back to unsharded placement for indivisible batches."""
+    if mesh is None or arrays[0].shape[0] % mesh.devices.size:
+        return arrays, w
+    s = mesh_mod.batch_sharding(mesh)
+    return [jax.device_put(a, s) for a in arrays], jax.device_put(w, s)
 
 
 class _Logger:
@@ -112,10 +140,13 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     train = dataset_mod.load_split(cfg, "train")
     test = dataset_mod.load_split(cfg, "test")
 
+    mesh = _data_mesh()
     params = imu_net.imu_net_init(jax.random.PRNGKey(seed))
     if cfg.imu_pretrained:
         # resume semantics (Train_IMU.py:52-53)
         params = jax.device_put(_load_imu_params(cfg))
+    if mesh is not None:
+        params = mesh_mod.replicate(mesh, params)
     tx = _optimizer(cfg.lr, weight_decay=1e-3)
     opt_state = tx.init(params)
 
@@ -143,6 +174,7 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         t0 = time.time()
         train_losses = []
         for (imu, key, r_gt), w in _epoch_batches(train, cfg.batch_size, rng, fields):
+            (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
             params, opt_state, loss = train_step(params, opt_state, imu, key, r_gt, w)
             train_losses.append(float(loss) / float(w.sum()) / denom_tr)
         eval_losses = []
@@ -155,13 +187,14 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         if verbose:
             print(f"epoch {epoch + 1}: train {train_loss:.4f} eval {eval_loss:.4f} "
                   f"({time.time() - t0:.1f}s)")
-        if (epoch + 1) % cfg.save_slot == 0 or stopper(eval_loss) \
+        should_stop = stopper(eval_loss)
+        if (epoch + 1) % cfg.save_slot == 0 or should_stop \
                 or epoch + 1 == epochs:
             ckpt_path = os.path.join(
                 model_dir, f"epoch{epoch}_batch{cfg.batch_size}"
                            f"frame{cfg.frame_no}lr{cfg.lr}.npz")
             store.save(ckpt_path, params)
-        if stopper.early_stop:
+        if should_stop:
             if verbose:
                 print("Early stopping")
             break
@@ -194,7 +227,11 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state = torch_import.import_upper(cfg.model_upper_path)
         else:
             params = store.load(cfg.model_upper_path, params)
+    mesh = _data_mesh()
     params, state = jax.device_put((params, state))
+    if mesh is not None:
+        params, state = mesh_mod.replicate(mesh, (params, state))
+        imu_params = mesh_mod.replicate(mesh, imu_params)
     tx = _optimizer(cfg.lr)
     opt_state = tx.init(params)
     upper_map = jnp.asarray(UPPER_JOINT_MAP)
@@ -237,7 +274,8 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
         for (cloud, key, imu, bones), w in _epoch_batches(
-                train, cfg.batch_size, rng, fields):
+                train, cfg.batch_size, rng, fields, pad=False):
+            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
             key_rng, sub = jax.random.split(key_rng)
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, imu_params, cloud, key, imu, bones,
@@ -256,14 +294,15 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         if verbose:
             print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
                   f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
-        if (epoch + 1) % cfg.save_slot == 0 or stopper(eval_loss) \
+        should_stop = stopper(eval_loss)
+        if (epoch + 1) % cfg.save_slot == 0 or should_stop \
                 or epoch + 1 == epochs:
             ckpt_path = os.path.join(
                 model_dir, f"epoch{epoch}_batch{cfg.batch_size}"
                            f"frame{cfg.frame_no}lr{cfg.lr}.npz")
             store.save(ckpt_path, params)
             store.save(os.path.splitext(ckpt_path)[0] + ".state.npz", state)
-        if stopper.early_stop:
+        if should_stop:
             if verbose:
                 print("Early stopping")
             break
@@ -296,8 +335,12 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state = torch_import.import_lower(cfg.model_lower_path)
         else:
             params = store.load(cfg.model_lower_path, params)
+    mesh = _data_mesh()
     params, state = jax.device_put((params, state))
     frozen = jax.device_put((imu_params, upper_params, upper_state))
+    if mesh is not None:
+        params, state = mesh_mod.replicate(mesh, (params, state))
+        frozen = mesh_mod.replicate(mesh, frozen)
     tx = _optimizer(cfg.lr)
     opt_state = tx.init(params)
     lower_map = jnp.asarray(LOWER_JOINT_MAP)
@@ -345,7 +388,8 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
         for (cloud, key, imu, bones), w in _epoch_batches(
-                train, cfg.batch_size, rng, fields):
+                train, cfg.batch_size, rng, fields, pad=False):
+            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
             key_rng, sub = jax.random.split(key_rng)
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, frozen, cloud, key, imu, bones,
@@ -364,14 +408,15 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         if verbose:
             print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
                   f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
-        if (epoch + 1) % cfg.save_slot == 0 or stopper(eval_loss) \
+        should_stop = stopper(eval_loss)
+        if (epoch + 1) % cfg.save_slot == 0 or should_stop \
                 or epoch + 1 == epochs:
             ckpt_path = os.path.join(
                 model_dir, f"epoch{epoch}_batch{cfg.batch_size}"
                            f"frame{cfg.frame_no}lr{cfg.lr}.npz")
             store.save(ckpt_path, params)
             store.save(os.path.splitext(ckpt_path)[0] + ".state.npz", state)
-        if stopper.early_stop:
+        if should_stop:
             if verbose:
                 print("Early stopping")
             break
