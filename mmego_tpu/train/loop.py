@@ -227,6 +227,9 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state = torch_import.import_upper(cfg.model_upper_path)
         else:
             params = store.load(cfg.model_upper_path, params)
+            state_path = os.path.splitext(cfg.model_upper_path)[0] + ".state.npz"
+            if os.path.exists(state_path):  # BN running stats ride alongside
+                state = store.load(state_path, state)
     mesh = _data_mesh()
     params, state = jax.device_put((params, state))
     if mesh is not None:
@@ -335,6 +338,9 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state = torch_import.import_lower(cfg.model_lower_path)
         else:
             params = store.load(cfg.model_lower_path, params)
+            state_path = os.path.splitext(cfg.model_lower_path)[0] + ".state.npz"
+            if os.path.exists(state_path):  # BN running stats ride alongside
+                state = store.load(state_path, state)
     mesh = _data_mesh()
     params, state = jax.device_put((params, state))
     frozen = jax.device_put((imu_params, upper_params, upper_state))
