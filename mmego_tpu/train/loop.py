@@ -264,9 +264,9 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         loss, (_, joints, target) = forward_loss(
             p, st, imu_p, cloud, key, imu, bones, w, None, False)
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
-        wsum = jnp.sum(w) * cfg.frame_no * len(UPPER_JOINT_MAP)
-        acc = jnp.sum(err * w[:, None, None]) / wsum
-        return loss, acc
+        per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (15,)
+        n = jnp.sum(w) * cfg.frame_no
+        return loss, per_joint, n
 
     fields = ("cloud", "key", "imu", "bones")
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
@@ -283,17 +283,22 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, imu_params, cloud, key, imu, bones,
                 w, sub)
-        eval_losses, eval_accs = [], []
+        eval_losses, joint_sums, n_frames = [], 0.0, 0.0
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, rng, fields):
-            loss, acc = eval_step(params, state, imu_params, cloud, key, imu,
-                                  bones, w)
+            loss, per_joint, n = eval_step(params, state, imu_params, cloud,
+                                           key, imu, bones, w)
             eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
-            eval_accs.append(float(acc))
+            joint_sums = joint_sums + np.asarray(per_joint, np.float64)
+            n_frames += float(n)
         eval_loss = float(np.mean(eval_losses))
-        eval_acc = float(np.mean(eval_accs))
+        per_joint_err = joint_sums / n_frames                       # (15,)
+        eval_acc = float(per_joint_err.mean())
+        # wrist/elbow ids 7,6,11,10 sit at the same local indices in
+        # UPPER_JOINT_MAP (Train_Upper.py:118 prints them each epoch)
+        hand = per_joint_err[[7, 6, 11, 10]]
         log.loss(epoch + 1, eval_loss)
-        log.eval(epoch + 1, eval_acc)
+        log.eval(epoch + 1, eval_acc, per_joint_err.tolist(), hand.tolist())
         if verbose:
             print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
                   f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
@@ -381,9 +386,9 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         loss, (_, joints, target) = forward_loss(
             p, st, frozen, cloud, key, imu, bones, w, None, False)
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
-        wsum = jnp.sum(w) * cfg.frame_no * len(LOWER_JOINT_MAP)
-        acc = jnp.sum(err * w[:, None, None]) / wsum
-        return loss, acc
+        per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (8,)
+        n = jnp.sum(w) * cfg.frame_no
+        return loss, per_joint, n
 
     fields = ("cloud", "key", "imu", "bones")
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
@@ -400,17 +405,19 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, frozen, cloud, key, imu, bones,
                 w, sub)
-        eval_losses, eval_accs = [], []
+        eval_losses, joint_sums, n_frames = [], 0.0, 0.0
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, rng, fields):
-            loss, acc = eval_step(params, state, frozen, cloud, key, imu,
-                                  bones, w)
+            loss, per_joint, n = eval_step(params, state, frozen, cloud, key,
+                                           imu, bones, w)
             eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
-            eval_accs.append(float(acc))
+            joint_sums = joint_sums + np.asarray(per_joint, np.float64)
+            n_frames += float(n)
         eval_loss = float(np.mean(eval_losses))
-        eval_acc = float(np.mean(eval_accs))
+        per_joint_err = joint_sums / n_frames                       # (8,)
+        eval_acc = float(per_joint_err.mean())
         log.loss(epoch + 1, eval_loss)
-        log.eval(epoch + 1, eval_acc)
+        log.eval(epoch + 1, eval_acc, per_joint_err.tolist())
         if verbose:
             print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
                   f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")

@@ -20,6 +20,29 @@ from mmego_tpu import infer as infer_mod
 from mmego_tpu.viz import pose3d
 
 
+def render_frames(cfg: Config, data=None, params=None, state=None,
+                  max_windows: int = 3) -> str:
+    """Per-frame pred/real SVG dump (``Train_Lower.eval_all_skeleton``,
+    Train_Lower.py:334-388): runs the cascade on the first windows of the vis
+    split and writes one pred + one real SVG per frame under
+    ``{report_root}/{idx}/svg/``."""
+    if data is None:
+        data = dataset_mod.load_split(cfg, "vis")
+    data = data.take(slice(0, max_windows))
+    if params is None:
+        params, state = infer_mod.load_cascade_params(cfg)
+    preds = infer_mod.run_cascade_batched(
+        params, state, data, len(data), cfg.lower_pc_no, cfg.imu_used)
+    b, l = len(data), cfg.frame_no
+    pred = preds["all"].reshape(b * l, 21, 3)
+    real = data.key.reshape(b * l, 21, 3)
+    floor = data.ground.reshape(b * l, 4)[:, -1]
+    out_root = os.path.join(cfg.report_root, str(cfg.idx), "svg")
+    pose3d.dump_pose_frames(pred, real, 0, floor, out_root)
+    print(f"wrote {b * l} frame SVG pairs to {out_root}")
+    return out_root
+
+
 def render_actions(cfg: Config, data=None, params=None, state=None) -> list:
     if data is None:
         data = dataset_mod.load_split(cfg, "action_vis")
