@@ -177,12 +177,17 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
     imu = jnp.asarray(sl.imu)
     bones = jnp.asarray(sl.bones)
 
-    imu_fn = jax.jit(lambda x: imu_mod.imu_net_apply(params.imu, x))
-    upper_fn = jax.jit(lambda c, b, r, t: upper_mod.upper_net_apply(
-        params.upper, state.upper, c, b, r, t, cfg.imu_used)[:3])
-    lower_fn = jax.jit(lambda u, c, b, r, t: lower_mod.lower_net_apply(
-        params.lower, state.lower, u, c, b, r, t, cfg.lower_pc_no,
-        cfg.imu_used)[0])
+    # params as jit ARGUMENTS (closures would embed them as HLO constants;
+    # see _cascade_jit)
+    imu_jit = jax.jit(imu_mod.imu_net_apply)
+    upper_jit = jax.jit(lambda p, s, c, b, r, t: upper_mod.upper_net_apply(
+        p, s, c, b, r, t, cfg.imu_used)[:3])
+    lower_jit = jax.jit(lambda p, s, u, c, b, r, t: lower_mod.lower_net_apply(
+        p, s, u, c, b, r, t, cfg.lower_pc_no, cfg.imu_used)[0])
+    imu_fn = lambda x: imu_jit(params.imu, x)
+    upper_fn = lambda c, b, r, t: upper_jit(params.upper, state.upper, c, b, r, t)
+    lower_fn = lambda u, c, b, r, t: lower_jit(params.lower, state.lower,
+                                               u, c, b, r, t)
 
     def _sync(tree):
         # block_until_ready does not reliably wait on tunneled TPU backends;
