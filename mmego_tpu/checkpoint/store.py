@@ -81,6 +81,32 @@ def load_flat(path: str) -> dict:
         return {k: data[k] for k in data.files}
 
 
+# ---------------------------------------------------------------------------
+# Optional Orbax backend (directory checkpoints; async-capable, multi-host
+# aware).  The npz format above stays the default -- single-file, torch-free,
+# diff-friendly -- but orbax round-trips the same pytrees for users who want
+# its sharding/async machinery.
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str, tree: Any) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, jax.device_get(tree), force=True)
+    return path
+
+
+def load_orbax(path: str, like: Any) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), like)
+        return ckptr.restore(path, abstract)
+
+
 def epoch_path(root: str, idx: int, epoch: int, batch: int, frame: int,
                lr: float) -> str:
     """Reference-style checkpoint naming under ``{root}/model/{idx}/``."""

@@ -25,6 +25,26 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"  # reserved; always size 1 in current configs
 
 
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> None:
+    """Join a multi-host TPU slice before building the mesh.
+
+    Thin wrapper over ``jax.distributed.initialize`` (auto-detects cluster
+    env on Cloud TPU when called with no args).  After this, ``make_mesh``
+    spans every device in the slice and each host feeds its own batch shard;
+    the collectives ride ICI within a slice and DCN across slices -- no
+    further code changes anywhere in the framework.
+    """
+    import jax.distributed
+
+    kw = {}
+    if coordinator is not None:
+        kw.update(coordinator_address=coordinator,
+                  num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kw)
+
+
 def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
     devs = list(devices if devices is not None else jax.devices())

@@ -50,6 +50,19 @@ def test_store_roundtrip_cascade_params():
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_orbax_roundtrip():
+    pytest = __import__("pytest")
+    pytest.importorskip("orbax.checkpoint")
+    params, _ = cascade.cascade_init(jax.random.PRNGKey(2))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck")
+        store.save_orbax(path, params.upper)
+        loaded = store.load_orbax(path, params.upper)
+        for a, b in zip(jax.tree.leaves(params.upper), jax.tree.leaves(loaded)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_epoch_path_and_latest():
     with tempfile.TemporaryDirectory() as d:
         p1 = store.epoch_path(d, 1001, 49, 20, 20, 3e-5)
