@@ -41,8 +41,12 @@ def main():
     # backend numerics audit first: the cascade is batch-invariant by
     # construction, so any deviation is accelerator miscompilation -- fail
     # loudly instead of publishing corrupted numbers.
+    # tol_cpu: cross-backend agreement with the CPU ground truth.  bf16 MXU
+    # recurrence noise measures <2 cm worst-case per joint (nn/lstm.py:30-36);
+    # miscompiles observed on this backend exceed 0.9 m.  3 cm separates them
+    # with margin on both sides.
     from mmego_tpu.utils import selfcheck
-    if not selfcheck.run(params, state, data, batch=835):
+    if not selfcheck.run(params, state, data, batch=835, tol_cpu=0.03):
         print(json.dumps({"metric": "cascade_inference_throughput",
                           "value": 0.0, "unit": "it/s", "vs_baseline": 0.0,
                           "error": "backend selfcheck failed"}))

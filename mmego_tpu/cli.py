@@ -18,24 +18,32 @@ from mmego_tpu.config import Config, demo_config
 
 
 def build_parser() -> argparse.ArgumentParser:
-    parser = argparse.ArgumentParser(description="Processor collection")
+    parser = argparse.ArgumentParser(
+        description="mmEgo-TPU: train / evaluate the three-stage pose cascade")
     parser.add_argument("--network", type=str,
                         choices=["IMU_Net", "Upper_Net", "Lower_Net"],
-                        help="Choose a network: IMU_Net, Upper_Net, Lower_Net")
-    parser.add_argument("--train", action="store_true", help="Train model")
-    parser.add_argument("--infer", action="store_true", help="Perform inference")
-    parser.add_argument("--vis", action="store_true", help="Visualization")
-    parser.add_argument("--colab", action="store_true", help="Called by colab")
-    parser.add_argument("--epochs", type=int, help="Number of epochs")
-    parser.add_argument("--lr", type=float, help="Learning rate")
+                        help="which stage to train")
+    parser.add_argument("--train", action="store_true",
+                        help="run the selected stage's training loop")
+    parser.add_argument("--infer", action="store_true",
+                        help="evaluate the full cascade on the demo split")
+    parser.add_argument("--vis", action="store_true",
+                        help="render per-action skeleton animations")
+    parser.add_argument("--colab", action="store_true",
+                        help="notebook mode (inline-friendly output paths)")
+    parser.add_argument("--epochs", type=int, help="max training epochs")
+    parser.add_argument("--lr", type=float, help="Adam learning rate")
     parser.add_argument("--device", type=str,
                         help="accepted for compatibility; use JAX_PLATFORMS")
-    parser.add_argument("--batch_size", type=int, help="Batch size")
+    parser.add_argument("--batch_size", type=int, help="training batch size")
     parser.add_argument("--log_dir", type=int,
-                        help="Run index for model and report output")
-    parser.add_argument("--load_IMU_path", type=str, help="Path to load IMU_Net")
-    parser.add_argument("--load_Upper_path", type=str, help="Path to load Upper_Net")
-    parser.add_argument("--load_Lower_path", type=str, help="Path to load Lower_Net")
+                        help="run index naming the runs/<idx>/ output tree")
+    parser.add_argument("--load_IMU_path", type=str,
+                        help="IMU_Net checkpoint (.npz native or torch .pth)")
+    parser.add_argument("--load_Upper_path", type=str,
+                        help="Upper_Net checkpoint (.npz native or torch .pth)")
+    parser.add_argument("--load_Lower_path", type=str,
+                        help="Lower_Net checkpoint (.npz native or torch .pth)")
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace of the run")
     return parser

@@ -103,45 +103,12 @@ def _scan_direction(p: dict, x: jnp.ndarray, reverse: bool,
     return ys, (h, c)
 
 
-def _scan_bidirectional(layer: dict, x: jnp.ndarray):
-    """Both directions of one layer in a SINGLE scan (UNUSED -- kept as a
-    reference implementation).
-
-    In principle the fwd/bwd recurrences fuse into one batched ``dot_general``
-    over a direction axis, halving the sequential step count.  In practice the
-    (2, B, H) x (2, H, 4H) batched matmul is *batch-size unstable* on the TPU
-    backend (different tilings reassociate the K-reduction differently per
-    shape; the recurrence amplifies the difference to ~0.3 absolute after 20
-    steps, measured at B = 16700 vs 3340), while the plain 2-D per-direction
-    matmul is bit-stable across batch sizes.  lstm_apply therefore uses
-    per-direction scans; see tests/test_lstm.py::test_lstm_batch_invariance.
-    """
-    b, t, _ = x.shape
-    hidden = layer["fwd"]["wh"].shape[0]
-    wi = jnp.stack([layer["fwd"]["wi"], layer["bwd"]["wi"]])   # (2, F, 4H)
-    wh = jnp.stack([layer["fwd"]["wh"], layer["bwd"]["wh"]])   # (2, H, 4H)
-    bb = jnp.stack([layer["fwd"]["b"], layer["bwd"]["b"]])     # (2, 4H)
-
-    xp = jnp.einsum("btf,dfg->dbtg", x, wi) + bb[:, None, None, :]
-    # direction 1 consumes time reversed
-    xp = jnp.stack([xp[0], jnp.flip(xp[1], axis=1)])           # (2, B, T, 4H)
-    xp = jnp.moveaxis(xp, 2, 0)                                # (T, 2, B, 4H)
-
-    h0 = jnp.zeros((2, b, hidden), x.dtype)
-    c0 = jnp.zeros((2, b, hidden), x.dtype)
-
-    def step(carry, gates_x):
-        h, c = carry
-        gates = gates_x + jnp.einsum("dbh,dhg->dbg", h, wh)
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
-        h = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (h, c), h
-
-    (h, c), ys = jax.lax.scan(step, (h0, c0), xp)              # ys (T, 2, B, H)
-    y_f = jnp.moveaxis(ys[:, 0], 0, 1)                         # (B, T, H)
-    y_b = jnp.flip(jnp.moveaxis(ys[:, 1], 0, 1), axis=1)
-    return jnp.concatenate([y_f, y_b], axis=-1), (h[0], c[0]), (h[1], c[1])
+# NOTE: a single-scan bidirectional variant (direction-batched
+# (2, B, H) x (2, H, 4H) dot_general) was built and REJECTED: the batched
+# matmul is batch-size unstable on this backend (the recurrence amplifies the
+# reassociated K-reduction to ~0.3 abs after 20 steps).  Per-direction 2-D
+# matmuls are bit-stable and are what ships -- see docs/PERFORMANCE.md
+# ("Backend numerics audit") and tests/test_lstm.py::test_lstm_batch_invariance.
 
 
 def lstm_apply(params: List[dict], x: jnp.ndarray,

@@ -47,8 +47,19 @@ def init_multihost(coordinator: Optional[str] = None,
 
 def make_mesh(n_devices: Optional[int] = None,
               devices: Optional[Sequence] = None) -> Mesh:
+    """Build the 1-D data mesh.
+
+    A request for more devices than exist fails loudly: silently shrinking
+    would turn every downstream multi-chip check into a false positive (a
+    "1-device 8-device mesh" that prints ok).
+    """
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are visible ({devs[0].platform} backend); refusing "
+                "to build a smaller mesh silently")
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 

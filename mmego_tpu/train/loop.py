@@ -95,15 +95,34 @@ def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields,
 
 def _data_mesh():
     """Data-parallel mesh across all local devices (None when single-device:
-    the common one-chip case needs no sharding machinery)."""
+    the common one-chip case needs no sharding machinery).  MMEGO_DP=off
+    forces single-device training regardless of visible devices."""
+    if os.environ.get("MMEGO_DP", "auto") == "off":
+        return None
     return mesh_mod.make_mesh() if jax.device_count() > 1 else None
 
 
 def _shard(mesh, arrays, w):
     """Split a batch across the mesh's data axis (GSPMD inserts the gradient
-    reduction); falls back to unsharded placement for indivisible batches."""
-    if mesh is None or arrays[0].shape[0] % mesh.devices.size:
+    reduction).
+
+    Indivisible batches are padded up to a device multiple by repeating the
+    last row with weight 0, so DP engages at ANY batch size (the reference
+    default, batch 20, is not divisible by typical mesh sizes).  Zero-weight
+    rows contribute nothing to the loss or gradients through it; the one
+    semantic deviation is that train-mode BatchNorm statistics see the
+    duplicated rows -- a multi-device-only effect with no reference
+    counterpart (the reference is strictly single-device, SURVEY.md §2.9),
+    bounded by tests/test_sharding.py's DP-vs-single-device equivalence.
+    """
+    if mesh is None:
         return arrays, w
+    n_dev = mesh.devices.size
+    rem = (-arrays[0].shape[0]) % n_dev
+    if rem:
+        arrays = [jnp.concatenate([a, jnp.repeat(a[-1:], rem, axis=0)], axis=0)
+                  for a in arrays]
+        w = jnp.concatenate([w, jnp.zeros((rem,), w.dtype)], axis=0)
     s = mesh_mod.batch_sharding(mesh)
     return [jax.device_put(a, s) for a in arrays], jax.device_put(w, s)
 

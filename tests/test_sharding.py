@@ -71,3 +71,107 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 20, 21, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_make_mesh_refuses_short():
+    """Requesting more devices than exist must raise, never shrink."""
+    import pytest
+    with pytest.raises(ValueError, match="refusing"):
+        mesh_mod.make_mesh(16)
+
+
+# ---------------------------------------------------------------------------
+# DP engagement on a real stage trainer
+# ---------------------------------------------------------------------------
+
+def _tiny_world(tmp_path, monkeypatch, batch_size, n_train=16):
+    """A tiny Upper-stage training world (mocked splits + small IMU ckpt)."""
+    import unittest.mock as mock
+    from mmego_tpu.config import Config
+    from mmego_tpu.data.dataset import WindowData
+    from mmego_tpu.checkpoint import store
+    from mmego_tpu.models import imu_net
+    from mmego_tpu.train import loop
+
+    rng = np.random.RandomState(3)
+
+    def _data(n, l=4, pts=16):
+        bones = np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (n, 1, 1))
+        return WindowData(
+            cloud=rng.randn(n, l, pts, 6).astype(np.float32),
+            key=rng.randn(n, l, 21, 3).astype(np.float32),
+            imu=rng.randn(n, l, 20, 15).astype(np.float32),
+            bones=bones,
+            ground=rng.randn(n, l, 4).astype(np.float32),
+            foot_contact=rng.randn(n, l, 2, 2).astype(np.float32),
+            r_r0r=np.tile(np.eye(3, dtype=np.float32), (n, l, 1, 1)),
+            t_r0r=rng.randn(n, l, 3).astype(np.float32),
+            action=np.zeros(n, np.int32),
+        )
+
+    cfg = Config(idx=9, frame_no=4, pc_no=16, lower_pc_no=8,
+                 batch_size=batch_size, early_stop_patience=100, save_slot=100,
+                 report_root=str(tmp_path / "runs"),
+                 model_imu_path=str(tmp_path / "imu.npz"),
+                 model_upper_path=str(tmp_path / "upper.npz"),
+                 model_lower_path=str(tmp_path / "lower.npz"))
+    data = {"train": _data(n_train), "test": _data(8)}
+    monkeypatch.setattr(loop.dataset_mod, "load_split",
+                        lambda c, split: data[split])
+    orig_init = imu_net.imu_net_init
+    small = mock.patch.object(loop.imu_net, "imu_net_init",
+                              lambda rng: orig_init(rng, hidden=16))
+    with small:
+        imu_params, _ = loop.train_imu(cfg, max_epochs=1, verbose=False)
+    store.save(cfg.model_imu_path, imu_params)
+    return cfg, small
+
+
+def _train_upper_params(cfg, small_imu, dp: bool, monkeypatch):
+    from mmego_tpu.train import loop
+    monkeypatch.setenv("MMEGO_DP", "auto" if dp else "off")
+    with small_imu:
+        (params, _), _ = loop.train_upper(cfg, max_epochs=2, verbose=False)
+    return jax.device_get(params)
+
+
+def test_train_upper_dp_matches_single_device(tmp_path, monkeypatch):
+    """Training a REAL stage data-parallel on the 8-device mesh must agree
+    with the single-device run: same data order, same rng keys, only the
+    gradient reduction differs (GSPMD psum vs on-device sum)."""
+    cfg, small = _tiny_world(tmp_path, monkeypatch, batch_size=8)
+    p_dp = _train_upper_params(cfg.replace(idx=91), small, True, monkeypatch)
+    p_sd = _train_upper_params(cfg.replace(idx=92), small, False, monkeypatch)
+    flat_dp = jax.tree.leaves(p_dp)
+    flat_sd = jax.tree.leaves(p_sd)
+    assert len(flat_dp) == len(flat_sd)
+    for a, b in zip(flat_dp, flat_sd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_train_upper_dp_engages_on_indivisible_batch(tmp_path, monkeypatch):
+    """batch_size 6 on an 8-device mesh: the batch must be PADDED and
+    sharded (the round-1 silent unsharded fallback is gone)."""
+    from mmego_tpu.train import loop
+
+    seen = []
+    orig = loop._shard
+
+    def spy(mesh, arrays, w):
+        arrays2, w2 = orig(mesh, arrays, w)
+        seen.append((mesh, arrays2[0].shape[0],
+                     len(arrays2[0].addressable_shards)
+                     if hasattr(arrays2[0], "addressable_shards") else 1))
+        return arrays2, w2
+
+    monkeypatch.setattr(loop, "_shard", spy)
+    cfg, small = _tiny_world(tmp_path, monkeypatch, batch_size=6, n_train=6)
+    monkeypatch.setenv("MMEGO_DP", "auto")
+    with small:
+        loop.train_upper(cfg.replace(idx=93), max_epochs=1, verbose=False)
+    assert seen, "spy never called"
+    for mesh, b, n_shards in seen:
+        assert mesh is not None
+        assert b % 8 == 0, "batch was not padded to a device multiple"
+        assert n_shards == 8, "batch was not sharded over the mesh"
