@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Lower_Net checkpoint (.npz native or torch .pth)")
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace of the run")
+    parser.add_argument("--upper_local", action="store_true",
+                        help="use the anchor-voxel UpperNetwlocal variant "
+                             "for --train --network Upper_Net")
     return parser
 
 
@@ -68,6 +71,8 @@ def config_from_args(args, demo: bool = False) -> Config:
         over["model_upper_path"] = args.load_Upper_path
     if args.load_Lower_path is not None:
         over["model_lower_path"] = args.load_Lower_path
+    if args.upper_local:
+        over["upper_local"] = True
     return cfg.replace(**over)
 
 

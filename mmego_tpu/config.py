@@ -98,6 +98,10 @@ class Config:
 
     # Behaviour switches.
     imu_used: bool = True
+    # Train/evaluate the anchor-voxel local variant (models/upper_local.py,
+    # reference Net/Upper_Net.py:406-451 -- defined upstream but never
+    # instantiated by any trainer there; wired in here).
+    upper_local: bool = False
     imu_pretrained: bool = False
     upper_pretrained: bool = False
     lower_pretrained: bool = False

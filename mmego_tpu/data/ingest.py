@@ -60,6 +60,50 @@ def _numeric_key(path: str):
     return [int(x) for x in _NUM_RE.findall(os.path.basename(path))]
 
 
+def _iter_loaded(loadmat, paths, workers: int = 0, depth: int = 128):
+    """Ordered prefetching loader over a thread pool.
+
+    The 19,208 per-frame ``.mat`` parses dominate cold-cache ingest and are
+    embarrassingly parallel (the native C reader releases the GIL for the
+    whole parse; scipy's zlib path mostly does too).  Everything *stateful* --
+    per-subject calibration, the seeded pad/subsample RNG stream -- stays on
+    the consuming thread, which receives results strictly in walk order, so
+    the packed output is bit-identical to the serial walk.
+
+    ``workers`` <= 1 degrades to a plain serial loop.  ``depth`` bounds how
+    many parsed frames may be in flight (memory backstop).
+    """
+    if workers <= 1:
+        for p in paths:
+            yield loadmat(p)
+        return
+    import collections
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        pending = collections.deque()
+        it = iter(paths)
+        for p in it:
+            pending.append(ex.submit(loadmat, p))
+            if len(pending) >= depth:
+                break
+        while pending:
+            result = pending.popleft().result()
+            for p in it:
+                pending.append(ex.submit(loadmat, p))
+                break
+            yield result
+
+
+def _ingest_workers() -> int:
+    """Thread count for the .mat prefetcher (MMEGO_INGEST_WORKERS overrides;
+    0/1 forces the serial walk)."""
+    env = os.environ.get("MMEGO_INGEST_WORKERS")
+    if env is not None:
+        return int(env)
+    return min(16, os.cpu_count() or 1)
+
+
 def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
            padding_seed: int = 0,
            joint_selection=None, skeleton=None,
@@ -125,6 +169,9 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
     r_ref = orientation_ref = None
     body_length = None
 
+    # Enumerate the full walk first (cheap directory listing), then stream
+    # the heavy .mat parses through the ordered prefetcher.
+    snippets = []
     for act, action_name in enumerate(action_dirs):
         action_path = os.path.join(data_root, action_name)
         for j, snippet_name in enumerate(sorted(os.listdir(action_path))):
@@ -139,98 +186,102 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
                 # the very first snippet is skipped entirely
                 # (Dataset_sample.py:134-135)
                 continue
+            snippets.append((act, mats))
 
-            frames = {k: [] for k in ARRAY_KEYS if k not in ("bones", "action")}
-            for mat_path in mats:
-                data = loadmat(mat_path)
-                pc = np.asarray(data["pc_xyziv_ti2"][:, 0:5], dtype=np.float64)
-                if len(pc) == 0:
-                    continue
-                key = np.asarray(data["pc_xyz_key_2"][:, 0:3])[joint_selection]
-                imu = np.asarray(data["imu_save_l"], dtype=np.float64).copy()
-                orientation = np.asarray(data["orientation_imu_img"])
-                t_r0r = np.asarray(data["t_R0R"]).reshape(3)
-                r_btc = np.asarray(data["R_btc"])
+    loaded = _iter_loaded(loadmat, [p for _, mats in snippets for p in mats],
+                          workers=_ingest_workers())
+    for act, mats in snippets:
+        frames = {k: [] for k in ARRAY_KEYS if k not in ("bones", "action")}
+        for mat_path in mats:
+            data = next(loaded)
+            pc = np.asarray(data["pc_xyziv_ti2"][:, 0:5], dtype=np.float64)
+            if len(pc) == 0:
+                continue
+            key = np.asarray(data["pc_xyz_key_2"][:, 0:3])[joint_selection]
+            imu = np.asarray(data["imu_save_l"], dtype=np.float64).copy()
+            orientation = np.asarray(data["orientation_imu_img"])
+            t_r0r = np.asarray(data["t_R0R"]).reshape(3)
+            r_btc = np.asarray(data["R_btc"])
 
-                if not calibrated:
-                    # First frame of the subject: freeze camera/IMU references
-                    # and the bone table (Dataset_sample.py:163-178).  Bone
-                    # *directions* come from the very first calibration ever;
-                    # later subjects only rescale magnitudes
-                    # (Dataset.py:174-181).
-                    r_ref = r_btc
-                    orientation_ref = orientation
-                    body = np.stack([key[p] - key[c] for p, c in skeleton])
-                    if initial_body_unit is None:
-                        initial_body_unit = body / np.linalg.norm(
-                            body, axis=-1, keepdims=True)
-                        body_length = body.astype(np.float32)
-                    else:
-                        norm = np.linalg.norm(body, axis=-1, keepdims=True)
-                        body_length = (norm * initial_body_unit).astype(np.float32)
-                    calibrated = True
-
-                r_r0r = R_TTB @ r_ref @ r_btc.T @ R_TTB.T
-                r_rtw = R_TTB @ r_btc @ R_CTW
-
-                # IMU orientation re-referencing: rows 0:3/3:6/6:9 are the
-                # rows of a 3x3 orientation stacked column-wise
-                # (Dataset_sample.py:184-189).
-                r_ni = np.stack([imu[:, :3], imu[:, 3:6], imu[:, 6:9]], axis=2)
-                r_i0i = orientation_ref.T @ r_ni
-                imu_rr0 = R_RI @ r_i0i @ R_RI.T
-                imu[:, 0:3] = imu_rr0[:, 0, :]
-                imu[:, 3:6] = imu_rr0[:, 1, :]
-                imu[:, 6:9] = imu_rr0[:, 2, :]
-                # gravity compensation then sign flips, in this order
-                # (Dataset_sample.py:190-193)
-                imu[:, 11] += 9.8
-                imu[:, 10:12] *= -1.0
-                imu[:, 13:] *= -1.0
-
-                fc_raw = np.asarray(data["foot_contact"]).reshape(-1)
-                foot = np.asarray(
-                    [[0, 1] if fc_raw[0] else [1, 0],
-                     [0, 1] if fc_raw[1] else [1, 0]], dtype=np.float32)
-
-                ground = np.asarray(data["abcd_ground_2"], dtype=np.float64).reshape(4)
-                if ground[0] > 0:
-                    ground = -ground
-
-                # 6-feature points: x, y, z, range, velocity, intensity
-                # (Dataset_sample.py:203-208; cols 4:2:-1 = (v, i)).
-                feat = np.zeros((len(pc), 6), dtype=np.float32)
-                feat[:, 0:3] = pc[:, 0:3]
-                feat[:, 3] = np.linalg.norm(pc[:, 0:3], axis=1)
-                feat[:, 4] = pc[:, 4]
-                feat[:, 5] = pc[:, 3]
-
-                # Pad (scatter into random slots, zero elsewhere) or random
-                # 128-subset (Dataset_sample.py:210-224), seeded here.
-                frame_cloud = np.zeros((pc_no, 6), dtype=np.float32)
-                if len(feat) < pc_no:
-                    slots = rng.choice(pc_no, size=len(feat), replace=False)
-                    frame_cloud[slots] = feat
+            if not calibrated:
+                # First frame of the subject: freeze camera/IMU references
+                # and the bone table (Dataset_sample.py:163-178).  Bone
+                # *directions* come from the very first calibration ever;
+                # later subjects only rescale magnitudes
+                # (Dataset.py:174-181).
+                r_ref = r_btc
+                orientation_ref = orientation
+                body = np.stack([key[p] - key[c] for p, c in skeleton])
+                if initial_body_unit is None:
+                    initial_body_unit = body / np.linalg.norm(
+                        body, axis=-1, keepdims=True)
+                    body_length = body.astype(np.float32)
                 else:
-                    keep = rng.choice(len(feat), size=pc_no, replace=False)
-                    frame_cloud = feat[keep]
+                    norm = np.linalg.norm(body, axis=-1, keepdims=True)
+                    body_length = (norm * initial_body_unit).astype(np.float32)
+                calibrated = True
 
-                frames["cloud"].append(frame_cloud)
-                frames["key"].append(key.astype(np.float32))
-                frames["imu"].append(imu.astype(np.float32))
-                frames["ground"].append(ground.astype(np.float32))
-                frames["foot_contact"].append(foot)
-                frames["r_r0r"].append(r_r0r.astype(np.float32))
-                frames["t_r0r"].append(t_r0r.astype(np.float32))
-                frames["r_rtw"].append(r_rtw.astype(np.float32))
+            r_r0r = R_TTB @ r_ref @ r_btc.T @ R_TTB.T
+            r_rtw = R_TTB @ r_btc @ R_CTW
 
-            # Tail-first non-overlapping windowing (Dataset_sample.py:235-262).
-            while len(frames["cloud"]) >= frame_no:
-                for k in frames:
-                    out[k].append(np.stack(frames[k][-frame_no:]))
-                    frames[k] = frames[k][:-frame_no]
-                out["bones"].append(body_length)
-                out["action"].append(act)
+            # IMU orientation re-referencing: rows 0:3/3:6/6:9 are the
+            # rows of a 3x3 orientation stacked column-wise
+            # (Dataset_sample.py:184-189).
+            r_ni = np.stack([imu[:, :3], imu[:, 3:6], imu[:, 6:9]], axis=2)
+            r_i0i = orientation_ref.T @ r_ni
+            imu_rr0 = R_RI @ r_i0i @ R_RI.T
+            imu[:, 0:3] = imu_rr0[:, 0, :]
+            imu[:, 3:6] = imu_rr0[:, 1, :]
+            imu[:, 6:9] = imu_rr0[:, 2, :]
+            # gravity compensation then sign flips, in this order
+            # (Dataset_sample.py:190-193)
+            imu[:, 11] += 9.8
+            imu[:, 10:12] *= -1.0
+            imu[:, 13:] *= -1.0
+
+            fc_raw = np.asarray(data["foot_contact"]).reshape(-1)
+            foot = np.asarray(
+                [[0, 1] if fc_raw[0] else [1, 0],
+                 [0, 1] if fc_raw[1] else [1, 0]], dtype=np.float32)
+
+            ground = np.asarray(data["abcd_ground_2"], dtype=np.float64).reshape(4)
+            if ground[0] > 0:
+                ground = -ground
+
+            # 6-feature points: x, y, z, range, velocity, intensity
+            # (Dataset_sample.py:203-208; cols 4:2:-1 = (v, i)).
+            feat = np.zeros((len(pc), 6), dtype=np.float32)
+            feat[:, 0:3] = pc[:, 0:3]
+            feat[:, 3] = np.linalg.norm(pc[:, 0:3], axis=1)
+            feat[:, 4] = pc[:, 4]
+            feat[:, 5] = pc[:, 3]
+
+            # Pad (scatter into random slots, zero elsewhere) or random
+            # 128-subset (Dataset_sample.py:210-224), seeded here.
+            frame_cloud = np.zeros((pc_no, 6), dtype=np.float32)
+            if len(feat) < pc_no:
+                slots = rng.choice(pc_no, size=len(feat), replace=False)
+                frame_cloud[slots] = feat
+            else:
+                keep = rng.choice(len(feat), size=pc_no, replace=False)
+                frame_cloud = feat[keep]
+
+            frames["cloud"].append(frame_cloud)
+            frames["key"].append(key.astype(np.float32))
+            frames["imu"].append(imu.astype(np.float32))
+            frames["ground"].append(ground.astype(np.float32))
+            frames["foot_contact"].append(foot)
+            frames["r_r0r"].append(r_r0r.astype(np.float32))
+            frames["t_r0r"].append(t_r0r.astype(np.float32))
+            frames["r_rtw"].append(r_rtw.astype(np.float32))
+
+        # Tail-first non-overlapping windowing (Dataset_sample.py:235-262).
+        while len(frames["cloud"]) >= frame_no:
+            for k in frames:
+                out[k].append(np.stack(frames[k][-frame_no:]))
+                frames[k] = frames[k][:-frame_no]
+            out["bones"].append(body_length)
+            out["action"].append(act)
 
     return out, initial_body_unit
 

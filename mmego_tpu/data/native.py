@@ -73,25 +73,38 @@ def loadmat(path: str, keys=None) -> Dict[str, np.ndarray]:
 
     Raises IOError if the native library is unavailable or the file fails to
     parse (callers fall back to scipy).
+
+    The hot loop is deliberately lean -- this runs 8 variables x 19,208 files
+    per cold ingest, so per-variable Python overhead (ctypeslib.as_array,
+    np.prod, str decode) used to dominate the whole walk.  Each variable is
+    now one ``ctypes.memmove`` into a writable array plus a column-major
+    reshape view.
     """
     lib = get_lib()
     if lib is None:
         raise IOError("native matreader unavailable")
+    kb = None if keys is None else frozenset(k.encode() for k in keys)
+    num_vars, var_name = lib.mat_num_vars, lib.mat_var_name
+    var_ndim, var_dims = lib.mat_var_ndim, lib.mat_var_dims
+    var_data, memmove = lib.mat_var_data, ctypes.memmove
     h = lib.mat_open(path.encode())
     if not h:
         raise IOError(f"native matreader failed to parse {path}")
     try:
         out: Dict[str, np.ndarray] = {}
-        for i in range(lib.mat_num_vars(h)):
-            name = lib.mat_var_name(h, i).decode()
-            if keys is not None and name not in keys:
+        for i in range(num_vars(h)):
+            name = var_name(h, i)
+            if kb is not None and name not in kb:
                 continue
-            ndim = lib.mat_var_ndim(h, i)
-            dims = [lib.mat_var_dims(h, i)[d] for d in range(ndim)]
-            count = int(np.prod(dims)) if dims else 0
-            flat = np.ctypeslib.as_array(lib.mat_var_data(h, i), shape=(count,))
+            dptr = var_dims(h, i)
+            dims = [dptr[d] for d in range(var_ndim(h, i))]
+            count = 1
+            for d in dims:
+                count *= d
+            flat = np.empty(count, np.float64)
+            memmove(flat.ctypes.data, var_data(h, i), count * 8)
             # MATLAB stores column-major; scipy returns the same logical shape
-            out[name] = np.array(flat, dtype=np.float64).reshape(dims, order="F")
+            out[name.decode()] = flat.reshape(dims, order="F")
         return out
     finally:
         lib.mat_close(h)

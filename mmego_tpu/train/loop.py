@@ -234,13 +234,29 @@ def _load_imu_params(cfg: Config):
 
 def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
                 max_epochs: Optional[int] = None):
+    """Stage-2 trainer.  With ``cfg.upper_local`` it trains the anchor-voxel
+    ``UpperNetwlocal`` variant instead (same trainer protocol; the reference
+    defines that module, Net/Upper_Net.py:406-451, but never wires it into a
+    trainer -- here it is a first-class switch)."""
     base, report, model_dir, _ = _run_dirs(cfg)
     log = _Logger(report)
     train = dataset_mod.load_split(cfg, "train")
     test = dataset_mod.load_split(cfg, "test")
     imu_params = jax.device_put(_load_imu_params(cfg))
 
-    params, state = upper_net.upper_net_init(jax.random.PRNGKey(seed))
+    if cfg.upper_local:
+        from mmego_tpu.models import upper_local as net_mod
+        net_init, net_apply = (net_mod.upper_local_init,
+                               net_mod.upper_local_apply)
+        if cfg.upper_pretrained and cfg.model_upper_path.endswith(".pth"):
+            raise ValueError(
+                "no torch checkpoint exists for UpperNetwlocal (the shipped "
+                ".pth carries the non-local schema); train from scratch or "
+                "resume a native .npz")
+    else:
+        net_init, net_apply = upper_net.upper_net_init, upper_net.upper_net_apply
+
+    params, state = net_init(jax.random.PRNGKey(seed))
     if cfg.upper_pretrained:
         if cfg.model_upper_path.endswith(".pth"):
             params, state = torch_import.import_upper(cfg.model_upper_path)
@@ -265,7 +281,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         r, t = imu_net.imu_net_apply(imu_p, imu)
         r = jax.lax.stop_gradient(r)
         t = jax.lax.stop_gradient(t)
-        joints, _, _, new_st = upper_net.upper_net_apply(
+        joints, _, _, new_st = net_apply(
             p, st, cloud, bones, r, t, cfg.imu_used, train_mode, rng)
         target = key[:, :, upper_map, :]
         return losses.l1_sum(joints, target, w), (new_st, joints, target)

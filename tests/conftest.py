@@ -21,6 +21,18 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compilation cache: the suite is compile-bound (big LSTM
+# stacks x GSPMD partitioning on a single-core host), and programs are
+# identical across runs.  First run populates .cache/jax-test; repeat runs
+# skip most XLA work.  min_compile_time 0 is required for the CPU backend
+# to persist at all.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".cache", "jax-test")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 assert jax.devices()[0].platform == "cpu", (
     "tests must run on CPU; got " + str(jax.devices()[0]))
 assert jax.device_count() == 8, "expected an 8-device virtual CPU mesh"

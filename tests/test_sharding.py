@@ -131,7 +131,7 @@ def _train_upper_params(cfg, small_imu, dp: bool, monkeypatch):
     from mmego_tpu.train import loop
     monkeypatch.setenv("MMEGO_DP", "auto" if dp else "off")
     with small_imu:
-        (params, _), _ = loop.train_upper(cfg, max_epochs=2, verbose=False)
+        (params, _), _ = loop.train_upper(cfg, max_epochs=1, verbose=False)
     return jax.device_get(params)
 
 

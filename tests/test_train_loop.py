@@ -36,6 +36,9 @@ def _tiny_data(rng, n=6, l=4, pts=16):
 
 @pytest.fixture
 def tiny_cfg(tmp_path, monkeypatch):
+    # plumbing tests compile unpartitioned programs (faster on the 1-core
+    # host); DP sharding has dedicated coverage in test_sharding.py
+    monkeypatch.setenv("MMEGO_DP", "off")
     cfg = Config(
         idx=7, frame_no=4, pc_no=16, lower_pc_no=8, batch_size=4,
         early_stop_patience=2, save_slot=100,

@@ -51,3 +51,79 @@ def test_upper_local_trainable():
     g = jax.grad(loss_fn)(params)
     norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
     assert sum(1 for v in norms if v > 0) > len(norms) * 0.8
+
+
+def test_local_branch_gradients_flow_through_anchor_grouping():
+    """The local branch sits entirely downstream of the anchor-grouping
+    top_k gather; its gradients must be nonzero (the top_k INDICES are
+    non-differentiable, the gathered features are not)."""
+    params, state = upper_local.upper_local_init(jax.random.PRNGKey(3))
+    rng = np.random.RandomState(3)
+    cloud = jnp.asarray(rng.randn(1, 3, 32, 6).astype(np.float32))
+    bones = jnp.asarray(rng.randn(1, 20, 3).astype(np.float32) * 0.2)
+    r = jnp.broadcast_to(jnp.eye(3), (1, 3, 3, 3))
+    t = jnp.zeros((1, 3, 3))
+    target = jnp.asarray(rng.randn(1, 3, 15, 3).astype(np.float32))
+
+    def loss_fn(p):
+        joints, _, _, _ = upper_local.upper_local_apply(
+            p, state, cloud, bones, r, t, train=True, rng=jax.random.PRNGKey(4))
+        return jnp.sum(jnp.abs(joints - target))
+
+    g = jax.grad(loss_fn)(params)
+    for branch in ("local_pointnet", "local_attn", "voxel", "arnn",
+                   "comb_fc1", "comb_fc2"):
+        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g[branch]))
+        assert total > 0.0, f"no gradient reached params[{branch!r}]"
+
+
+def test_train_upper_local_via_trainer(tmp_path, monkeypatch):
+    """cfg.upper_local routes the stage-2 trainer onto UpperNetwlocal and the
+    loss moves; checkpoints land under the run tree."""
+    import os
+    import unittest.mock as mock
+    from mmego_tpu.config import Config
+    from mmego_tpu.data.dataset import WindowData
+    from mmego_tpu.checkpoint import store
+    from mmego_tpu.models import imu_net
+    from mmego_tpu.train import loop
+
+    rng = np.random.RandomState(5)
+    n, l, pts = 6, 4, 16
+
+    def _data(n):
+        bones = np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (n, 1, 1))
+        return WindowData(
+            cloud=rng.randn(n, l, pts, 6).astype(np.float32),
+            key=rng.randn(n, l, 21, 3).astype(np.float32),
+            imu=rng.randn(n, l, 20, 15).astype(np.float32),
+            bones=bones,
+            ground=rng.randn(n, l, 4).astype(np.float32),
+            foot_contact=rng.randn(n, l, 2, 2).astype(np.float32),
+            r_r0r=np.tile(np.eye(3, dtype=np.float32), (n, l, 1, 1)),
+            t_r0r=rng.randn(n, l, 3).astype(np.float32),
+            action=np.zeros(n, np.int32),
+        )
+
+    cfg = Config(idx=95, frame_no=l, pc_no=pts, lower_pc_no=8, batch_size=4,
+                 early_stop_patience=100, save_slot=100, upper_local=True,
+                 report_root=str(tmp_path / "runs"),
+                 model_imu_path=str(tmp_path / "imu.npz"))
+    data = {"train": _data(n), "test": _data(4)}
+    monkeypatch.setenv("MMEGO_DP", "off")
+    monkeypatch.setattr(loop.dataset_mod, "load_split",
+                        lambda c, split: data[split])
+    orig_init = imu_net.imu_net_init
+    with mock.patch.object(loop.imu_net, "imu_net_init",
+                           lambda r: orig_init(r, hidden=16)):
+        imu_params, _ = loop.train_imu(cfg.replace(upper_local=False),
+                                       max_epochs=1, verbose=False)
+        store.save(cfg.model_imu_path, imu_params)
+        (params, state), ckpt = loop.train_upper(cfg, max_epochs=2,
+                                                 verbose=False)
+    assert ckpt is not None and os.path.exists(ckpt)
+    # the checkpoint round-trips against the local-variant template
+    from mmego_tpu.models import upper_local as ul
+    template, _ = ul.upper_local_init(jax.random.PRNGKey(0))
+    loaded = store.load(ckpt, template)
+    assert len(jax.tree.leaves(loaded)) == len(jax.tree.leaves(template))
