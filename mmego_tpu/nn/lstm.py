@@ -37,11 +37,12 @@ _PRECISION = os.environ.get("MMEGO_LSTM_PRECISION", "default")
 if _PRECISION == "default":
     _PRECISION = None
 
-# MMEGO_PALLAS=1 routes inference recurrences through the hand-written
-# Pallas kernel (ops/pallas_lstm.py: whole recurrence in one kernel launch,
-# weights VMEM-resident, inputs streamed).  Forward-only -- training paths
-# (train=True or under grad) must keep the scan.
-_USE_PALLAS = os.environ.get("MMEGO_PALLAS", "0") == "1"
+# ops/pallas_ctl decides (at trace time) whether inference recurrences route
+# through the hand-written Pallas kernels (ops/pallas_lstm.fused_stack:
+# whole stack fused, weights VMEM-resident, bf16 storage).  Default: on for
+# the TPU backend, off elsewhere; MMEGO_PALLAS=0/1 overrides.  Forward-only
+# -- training paths (train=True or under grad) keep the scan; so do
+# f32/highest precision audits (the kernel's storage precision is fixed).
 
 
 def _direction_init(rng, in_f: int, hidden: int) -> dict:
@@ -123,30 +124,22 @@ def lstm_apply(params: List[dict], x: jnp.ndarray,
        (h_n, c_n) each (num_layers*dirs, B, H) in torch's layer-major,
        fwd-then-bwd order -- the reference allocates but never consumes these).
     """
-    use_pallas = _USE_PALLAS and not train
+    from mmego_tpu.ops import pallas_ctl
+    use_pallas = (pallas_ctl.enabled("lstm") and not train and _PRECISION is None
+                  and all("bwd" in layer for layer in params))
     if use_pallas:
+        # kernel path: final h/c are not materialised (never consumed by the
+        # reference architecture); zero placeholders keep the API.
         from mmego_tpu.ops import pallas_lstm
+        out = pallas_lstm.fused_stack(params, x)
+        hidden = params[0]["fwd"]["wh"].shape[0]
+        zero = jnp.zeros((2 * len(params), x.shape[0], hidden), x.dtype)
+        return out, (zero, zero)
 
     hs, cs = [], []
     out = x
     last = len(params) - 1
     for li, layer in enumerate(params):
-        if use_pallas:
-            # kernel path: final h/c are not materialised (never consumed by
-            # the reference architecture); zero placeholders keep the API.
-            hidden = layer["fwd"]["wh"].shape[0]
-            zero = jnp.zeros((x.shape[0], hidden), x.dtype)
-            if "bwd" in layer:
-                y_f = pallas_lstm.lstm_scan_direction(layer["fwd"], out, False)
-                y_b = pallas_lstm.lstm_scan_direction(layer["bwd"], out, True)
-                out = jnp.concatenate([y_f, y_b], axis=-1)
-                hs += [zero, zero]
-                cs += [zero, zero]
-            else:
-                out = pallas_lstm.lstm_scan_direction(layer["fwd"], out, False)
-                hs.append(zero)
-                cs.append(zero)
-            continue
         if "bwd" in layer:
             y_f, (h_f, c_f) = _scan_direction(layer["fwd"], out, False, None, None)
             y_b, (h_b, c_b) = _scan_direction(layer["bwd"], out, True, None, None)

@@ -1,0 +1,50 @@
+"""Central switch for the hand-written Pallas TPU kernels.
+
+Kernel use is decided at TRACE time, so a single process can jit the same
+model both ways (e.g. the benchmark's CPU cross-check traces a scan-only
+program with ``backend='cpu'`` while the TPU program uses the kernels).
+
+Resolution order:
+  1. an active ``override(...)`` context (tests force-enable with interpret
+     mode; the CPU cross-check force-disables),
+  2. the ``MMEGO_PALLAS`` env var ("1"/"0" -- applies to every op),
+  3. per-op default.  ``lstm`` (ops/pallas_lstm.fused_stack) is ON for a real
+     TPU backend: measured 1.56x over the XLA scan on the dominant stage.
+     ``attn``/``gcn`` are OFF: their ops are bandwidth-trivial at this
+     model's shapes and XLA's fusion already runs them at speed of light;
+     the kernels exist (and are parity-tested) for shapes where pooling /
+     graph contraction dominate.  Mosaic kernels cannot lower for the CPU
+     backend, so everything is off when the default backend is not a TPU.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+
+_OVERRIDE: list = []  # stack of forced values
+
+_OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False}
+
+
+def enabled(op: str = "lstm") -> bool:
+    if _OVERRIDE:
+        return _OVERRIDE[-1]
+    import jax
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    env = os.environ.get("MMEGO_PALLAS")
+    if env is not None:
+        return env == "1" and on_tpu
+    return on_tpu and _OP_DEFAULT_ON.get(op, False)
+
+
+@contextlib.contextmanager
+def override(value: bool):
+    _OVERRIDE.append(bool(value))
+    try:
+        yield
+    finally:
+        _OVERRIDE.pop()

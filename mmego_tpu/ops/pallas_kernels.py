@@ -30,8 +30,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _use_pallas_default() -> bool:
-    return os.environ.get("MMEGO_PALLAS", "0") == "1"
+def _use_pallas_default(op: str) -> bool:
+    from mmego_tpu.ops import pallas_ctl
+    return pallas_ctl.enabled(op)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -59,7 +60,7 @@ def gcn_contract(x: jnp.ndarray, a: jnp.ndarray,
       x: (N, K, C, T, V); a: (K, V, V).
     """
     if use_pallas is None:
-        use_pallas = _use_pallas_default()
+        use_pallas = _use_pallas_default("gcn")
     if not use_pallas:
         return jnp.einsum("nkctv,kvw->nctw", x, a)
 
@@ -103,7 +104,7 @@ def _attn_pool_kernel(x_ref, w_ref, b_ref, n_ref, o_ref):
     m = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - m)
     w = e / jnp.sum(e, axis=0, keepdims=True)
-    o_ref[0] = jnp.sum(x * w, axis=0).astype(o_ref.dtype)
+    o_ref[0, 0] = jnp.sum(x * w, axis=0).astype(o_ref.dtype)
 
 
 def attn_pool(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
@@ -116,7 +117,7 @@ def attn_pool(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
       (..., C).
     """
     if use_pallas is None:
-        use_pallas = _use_pallas_default()
+        use_pallas = _use_pallas_default("attn")
     if not use_pallas:
         logits = x @ w + b
         weights = jax.nn.softmax(logits, axis=-2)
@@ -146,8 +147,11 @@ def attn_pool(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, cp), lambda i: (i, 0),
+        # out is (nb, 1, cp) so the block's trailing dims (1, cp) equal the
+        # array's -- a (1, cp) block on a (nb, cp) array violates the TPU
+        # (8, 128)-divisibility rule.
+        out_specs=pl.BlockSpec((1, 1, cp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, cp), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, cp), x.dtype),
     )(xp, wp, bp, nr)
-    return out[:, :c].reshape(*batch_shape, c)
+    return out[:, 0, :c].reshape(*batch_shape, c)

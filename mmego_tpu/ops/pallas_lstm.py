@@ -1,23 +1,41 @@
-"""Pallas TPU kernel: full LSTM recurrence in one kernel launch.
+"""Pallas TPU kernels: full LSTM recurrences in single kernel launches.
 
 The cascade's dominant cost is the IMU stage's LSTM recurrences
-(~16,700 rows x 20 steps x 4 layer-directions at hidden 512).  The lax.scan
-implementation dispatches each step as separate XLA ops; this kernel runs the
-whole recurrence for a block of batch rows inside a single ``pallas_call``:
+(~16,700 rows x 20 steps x 4 layer-directions at hidden 512).  Two kernel
+generations live here:
 
-  * grid = (batch_blocks, T) -- the TPU grid executes sequentially on a core,
-    so VMEM scratch (h, c) legally carries state across the T axis;
-  * the hidden-to-gate weight matrix lives in VMEM for the entire kernel
-    (512 x 2048 f32 = 4 MB);
-  * the precomputed input projections stream in one (block, t) tile per grid
-    step through the automatic BlockSpec pipeline (double-buffered by Pallas),
-    overlapping the DMA with the MXU matmul;
+``lstm_scan_direction`` (v1)
+  Streams a precomputed input projection ``xp = x @ wi + b`` from HBM, one
+  (block, t) tile per grid step.  Correct but HBM-bound: xp is 4x larger
+  than x, and it makes a full HBM round trip (write by the einsum, read by
+  the kernel) per layer-direction.
+
+``fused_stack`` (v2 -- what ships)
+  Runs the ENTIRE multi-layer bidirectional stack with the input projection
+  fused INTO the recurrence kernel:
+
+  * per (layer, direction) one ``pallas_call`` with grid (batch_blocks, T);
+    the TPU grid executes sequentially on a core, so VMEM scratch (h, c)
+    legally carries the recurrence across the T axis;
+  * all weights (wi, wh) live in VMEM for the whole kernel in bf16 -- the
+    MXU's native input precision (XLA's 'default' f32 matmul rounds operands
+    to bf16 anyway, so this loses nothing vs the scan path);
+  * x streams in one (block, t) bf16 tile per grid step (double-buffered by
+    the BlockSpec pipeline); gates accumulate in f32 and NEVER round-trip
+    through HBM -- per layer-direction the traffic drops from ~5 reads+writes
+    of the 4H-wide xp to one read of x and one write of y;
+  * layer outputs stay time-major and split per direction; the next layer's
+    input projection consumes the two halves as separate operands
+    (``dot(y_f, wi[:H]) + dot(y_b, wi[H:])``), so no concatenation copy is
+    ever materialised between layers;
   * the reversed direction is expressed purely in the index maps
     (t -> T-1-t) -- no data flips (see nn/lstm.py for why flips are banned).
 
-Exposed as ``lstm_scan_direction(p, x, reverse)`` with the same semantics as
-``nn.lstm._scan_direction`` (zero initial state, returns the full output
-sequence).  Forward-only (no VJP): inference paths opt in via MMEGO_PALLAS=1.
+Both are forward-only (no VJP): training keeps the lax.scan path.  Numerics:
+state is f32, gate accumulation is f32; only x/y storage and the weights are
+bf16.  The recurrence itself is batch-invariant (each output row of every
+matmul depends only on its own input row; K-reduction tiling is fixed by the
+block shapes), which the backend selfcheck verifies end-to-end.
 """
 
 from __future__ import annotations
@@ -112,3 +130,129 @@ def lstm_scan_direction(p: dict, x: jnp.ndarray, reverse: bool) -> jnp.ndarray:
             dimension_semantics=("arbitrary", "arbitrary")),
     )(xp, p["wh"])
     return jnp.swapaxes(out, 0, 1)[:b]                      # (B, T, H)
+
+
+# ---------------------------------------------------------------------------
+# v2: fused multi-layer bidirectional stack (input projection in-kernel)
+# ---------------------------------------------------------------------------
+
+def _fused_kernel(*refs, n_in: int, hidden: int):
+    """One (batch-block, timestep) grid cell of one direction of one layer.
+
+    refs: x_1..x_n tiles (1, BB, F_i) bf16, wi_1..wi_n (F_i, 4H) bf16,
+    wh (H, 4H) bf16, b (1, 4H) f32, out (1, BB, H) bf16,
+    scratch h/c (BB, H) f32.
+    """
+    xs = refs[:n_in]
+    wis = refs[n_in:2 * n_in]
+    wh_ref, b_ref, o_ref, h_ref, c_ref = refs[2 * n_in:]
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    gates = b_ref[:]                                     # (1, 4H) f32, bcast
+    for x_ref, wi_ref in zip(xs, wis):
+        gates = gates + jnp.dot(x_ref[0], wi_ref[:],
+                                preferred_element_type=jnp.float32)
+    gates = gates + jnp.dot(h_ref[:].astype(jnp.bfloat16), wh_ref[:],
+                            preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :hidden])
+    f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+    g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+    o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+    c = f * c_ref[:] + i * g
+    h = o * jnp.tanh(c)
+    h_ref[:] = h
+    c_ref[:] = c
+    o_ref[0] = h.astype(o_ref.dtype)
+
+
+def _fused_direction(p: dict, xs, reverse: bool, block_b: int) -> jnp.ndarray:
+    """One direction of one layer over pre-padded time-major bf16 inputs.
+
+    Args:
+      p: {"wi": (F, 4H) f32, "wh": (H, 4H) f32, "b": (4H,) f32} with
+         F = sum of the xs feature dims (wi rows are split to match).
+      xs: list of (T, BP, F_i) bf16 arrays, BP a multiple of block_b.
+    Returns:
+      y (T, BP, H) bf16.
+    """
+    t, bp, _ = xs[0].shape
+    hidden = p["wh"].shape[0]
+    nb = bp // block_b
+
+    wi = p["wi"].astype(jnp.bfloat16)
+    wi_parts, off = [], 0
+    for x in xs:
+        wi_parts.append(wi[off:off + x.shape[2]])
+        off += x.shape[2]
+    wh = p["wh"].astype(jnp.bfloat16)
+    b = p["b"].astype(jnp.float32).reshape(1, 4 * hidden)
+
+    if reverse:
+        tix = lambda i, tt: (t - 1 - tt, i, 0)
+    else:
+        tix = lambda i, tt: (tt, i, 0)
+    resident = lambda i, tt: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, block_b, x.shape[2]), tix, memory_space=pltpu.VMEM)
+        for x in xs
+    ] + [
+        pl.BlockSpec(w.shape, resident, memory_space=pltpu.VMEM)
+        for w in wi_parts
+    ] + [
+        pl.BlockSpec(wh.shape, resident, memory_space=pltpu.VMEM),
+        pl.BlockSpec(b.shape, resident, memory_space=pltpu.VMEM),
+    ]
+
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, n_in=len(xs), hidden=hidden),
+        grid=(nb, t),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_b, hidden), tix,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, bp, hidden), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+            pltpu.VMEM((block_b, hidden), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(*xs, *wi_parts, wh, b)
+
+
+def fused_stack_tm(params, x: jnp.ndarray, block_b: int = BLOCK_B):
+    """Whole bidirectional stack; returns TIME-MAJOR per-direction halves.
+
+    Args:
+      params: nn.lstm layer list [{"fwd": {...}, "bwd": {...}}, ...].
+      x: (B, T, F) float input (torch batch_first layout).
+    Returns:
+      (y_fwd, y_bwd): each (T, BP, H) bf16 with BP = B padded to a block
+      multiple -- callers slicing batch rows must take [:, :B].  Keeping the
+      halves split and time-major lets callers (e.g. the IMU attention pool)
+      consume them without the transpose/concat copies.
+    """
+    b, t, f = x.shape
+    block_b = min(block_b, _round_up(b, 8))
+    bp = _round_up(b, block_b)
+    x_tm = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)     # (T, B, F)
+    if bp != b:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, bp - b), (0, 0)))
+    xs = [x_tm]
+    for layer in params:
+        y_f = _fused_direction(layer["fwd"], xs, False, block_b)
+        y_b = _fused_direction(layer["bwd"], xs, True, block_b)
+        xs = [y_f, y_b]
+    return xs[0], xs[1]
+
+
+def fused_stack(params, x: jnp.ndarray, block_b: int = BLOCK_B) -> jnp.ndarray:
+    """Whole stack with the nn.lstm interface: (B, T, F) -> (B, T, 2H) f32."""
+    y_f, y_b = fused_stack_tm(params, x, block_b)
+    out = jnp.concatenate([y_f, y_b], axis=-1).astype(jnp.float32)
+    return jnp.swapaxes(out, 0, 1)[: x.shape[0]]

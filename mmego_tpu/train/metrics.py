@@ -61,6 +61,23 @@ def metric_sums(pred_all: jnp.ndarray, target_all: jnp.ndarray,
     }
 
 
+# Flat layout of one metric_sums dict: joint_sum (21) | bone_sum (20) |
+# upper_sum | lower_sum | count.  A single packed vector lets eval loops
+# accumulate on device and fetch once (one tunnel round trip total).
+PACKED_LEN = 21 + 20 + 3
+
+
+def pack_metric_sums(s: dict) -> jnp.ndarray:
+    return jnp.concatenate([
+        s["joint_sum"], s["bone_sum"],
+        jnp.stack([s["upper_sum"], s["lower_sum"], s["count"]])])
+
+
+def unpack_metric_sums(v) -> dict:
+    return {"joint_sum": v[:21], "bone_sum": v[21:41],
+            "upper_sum": v[41], "lower_sum": v[42], "count": v[43]}
+
+
 def finalize_metric_sums(sums_list) -> Dict[str, np.ndarray]:
     """Combine per-batch metric_sums into the reference metric block."""
     total = {k: sum(np.asarray(s[k], dtype=np.float64) for s in sums_list)

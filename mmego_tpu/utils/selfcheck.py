@@ -52,11 +52,13 @@ def cpu_crosscheck(params, state, data, probe: int = 8,
     host_s = jax.device_get(state)
     p_cpu, s_cpu = jax.device_put((host_p, host_s), cpu)
     fn = jax.jit(cascade.cascade_apply, static_argnums=(5, 6), backend="cpu")
-    out = fn(p_cpu, s_cpu,
-             jax.device_put(jnp.asarray(sub.cloud), cpu),
-             jax.device_put(jnp.asarray(sub.imu), cpu),
-             jax.device_put(jnp.asarray(sub.bones), cpu),
-             lower_pc_no, imu_used)
+    from mmego_tpu.ops import pallas_ctl
+    with pallas_ctl.override(False):     # Mosaic kernels cannot lower for CPU
+        out = fn(p_cpu, s_cpu,
+                 jax.device_put(jnp.asarray(sub.cloud), cpu),
+                 jax.device_put(jnp.asarray(sub.imu), cpu),
+                 jax.device_put(jnp.asarray(sub.bones), cpu),
+                 lower_pc_no, imu_used)
     dev = {k: float(np.abs(dev_probe[k] - np.asarray(out[k])).max())
            for k in ("upper", "lower", "all")}
     dev["max"] = max(dev.values())

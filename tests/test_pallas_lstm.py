@@ -38,16 +38,36 @@ def test_kernel_pads_ragged_batch():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_lstm_apply_pallas_gate(monkeypatch):
-    """MMEGO_PALLAS routes eval-mode lstm_apply through the kernel."""
-    monkeypatch.setattr(lstm_mod, "_USE_PALLAS", True)
+def test_lstm_apply_pallas_gate():
+    """pallas_ctl.override routes eval-mode lstm_apply through fused_stack."""
+    from mmego_tpu.ops import pallas_ctl
+
     params = lstm_mod.lstm_init(jax.random.PRNGKey(2), 12, 8, 2, True)
     rng = np.random.RandomState(2)
     x = jnp.asarray(rng.randn(4, 6, 12).astype(np.float32))
-    monkeypatch.setattr(lstm_mod, "_USE_PALLAS", False)
-    want, _ = lstm_mod.lstm_apply(params, x)
-    monkeypatch.setattr(lstm_mod, "_USE_PALLAS", True)
-    with pltpu.force_tpu_interpret_mode():
+    with pallas_ctl.override(False):
+        want, _ = lstm_mod.lstm_apply(params, x)
+    with pallas_ctl.override(True), pltpu.force_tpu_interpret_mode():
         got, _ = lstm_mod.lstm_apply(params, x)
+    # fused_stack stores x/y and weights in bf16 (gates/state stay f32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=1e-5, atol=1e-5)
+                               rtol=0, atol=3e-2)
+    assert np.abs(np.asarray(want)).max() > 0.05  # tolerance is meaningful
+
+
+def test_fused_stack_matches_scan_stack():
+    """v2 kernel: 2-layer bidirectional stack vs the lax.scan stack."""
+    from mmego_tpu.ops import pallas_ctl
+
+    params = lstm_mod.lstm_init(jax.random.PRNGKey(3), 24, 16, 2, True)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(37, 9, 24).astype(np.float32))  # ragged batch
+    with pallas_ctl.override(False):
+        want, _ = lstm_mod.lstm_apply(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_lstm.fused_stack(params, x)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=3e-2)
+    corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
+    assert corr > 0.999
