@@ -8,6 +8,36 @@ pytrees, one fused jit-compiled cascade, an HBM-resident data pipeline, and
 data-parallel training over a ``jax.sharding.Mesh``.
 """
 
+import os as _os
+
+
+def _enable_compile_cache():
+    """Persistent XLA/Mosaic compilation cache for every entry point.
+
+    Cold-compiling the fused cascade (incl. the Pallas LSTM kernels) costs
+    minutes through the tunneled TPU backend; the programs are identical
+    across processes.  Opt out with MMEGO_COMPILE_CACHE=0 or point the dir
+    elsewhere with MMEGO_COMPILE_CACHE_DIR.  (tests/conftest.py sets its own
+    dir first; jax ignores later updates only if a cache was already used,
+    so this is a no-op there.)
+    """
+    if _os.environ.get("MMEGO_COMPILE_CACHE", "1") != "1":
+        return
+    import jax
+
+    path = _os.environ.get(
+        "MMEGO_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".cache", "jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without the knobs: cache is an optimisation only
+
+
+_enable_compile_cache()
+
 from mmego_tpu.config import Config, demo_config, DEFAULT
 
 __version__ = "0.1.0"

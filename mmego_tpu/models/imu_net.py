@@ -59,10 +59,28 @@ def imu_net_apply(params: dict, imu: jnp.ndarray, dropout: float = 0.0,
         rng, r_fast, r_slow = jax.random.split(rng, 3)
     else:
         r_fast = r_slow = None
-    fast, _ = lstm.lstm_apply(params["rnn_fast"], x, dropout, r_fast, train)
 
-    w = jax.nn.softmax(layers.linear_apply(params["attn"], fast), axis=1)
-    pooled = jnp.sum(fast * w, axis=1).reshape(b, l, -1)
+    from mmego_tpu.ops import pallas_ctl
+    if pallas_ctl.enabled("lstm") and not train and lstm._PRECISION is None:
+        # Kernel path: pool straight from the fused stack's time-major bf16
+        # direction halves -- skips the (B*L, T, 2H) concat + transpose +
+        # f32 cast that the batch-major interface would materialise (~2.7 GB
+        # of HBM churn at demo shapes).  Same math: logits over the concat
+        # split into per-half matmuls; softmax over time in f32.
+        from mmego_tpu.ops import pallas_lstm
+        y_f, y_b = pallas_lstm.fused_stack_tm(params["rnn_fast"], x)
+        hidden = y_f.shape[-1]
+        aw, ab = params["attn"]["w"], params["attn"]["b"]
+        logits = (jnp.einsum("tbh,ho->tbo", y_f, aw[:hidden]) +
+                  jnp.einsum("tbh,ho->tbo", y_b, aw[hidden:]) + ab)  # (T,BP,1)
+        wgt = jax.nn.softmax(logits, axis=0)
+        pooled = jnp.concatenate(
+            [jnp.sum(y_f * wgt, axis=0), jnp.sum(y_b * wgt, axis=0)],
+            axis=-1)[: b * l].reshape(b, l, -1)          # (B, L, 2H) f32
+    else:
+        fast, _ = lstm.lstm_apply(params["rnn_fast"], x, dropout, r_fast, train)
+        w = jax.nn.softmax(layers.linear_apply(params["attn"], fast), axis=1)
+        pooled = jnp.sum(fast * w, axis=1).reshape(b, l, -1)
 
     slow, _ = lstm.lstm_apply(params["rnn_slow"], pooled, dropout, r_slow, train)
 
