@@ -178,8 +178,9 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
                  repeats: int = 5) -> Dict[str, float]:
     """Per-stage latency breakdown over one device batch (the TPU-native
     equivalent of the reference's ad-hoc ``eval_hand`` stage timers,
-    Train_Lower.py:429-446).  Each stage is jitted separately; times are
-    best-of-``repeats`` with ``block_until_ready`` fencing."""
+    Train_Lower.py:429-446).  Each stage is jitted separately; times are the
+    mean of ``repeats`` chained async dispatches forced complete by a single
+    end fetch (per-repeat fetches would add a tunnel RTT to every sample)."""
     from mmego_tpu.models import imu_net as imu_mod
     from mmego_tpu.models import upper_net as upper_mod
     from mmego_tpu.models import lower_net as lower_mod
@@ -224,12 +225,14 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
         ("lower_s", lambda: lower_fn(upper_l, cloud_h, bones, r, t)),
     ]:
         _sync(thunk())  # warm
-        best = float("inf")
+        # Chain `repeats` async dispatches and force completion once: a
+        # per-repeat fetch would add a full tunnel round trip (~26 ms
+        # measured) to every sample and swamp the device time.
+        t0 = time.perf_counter()
         for _ in range(repeats):
-            t0 = time.perf_counter()
-            _sync(thunk())
-            best = min(best, time.perf_counter() - t0)
-        out[name] = best
+            o = thunk()
+        _sync(jax.tree.map(jnp.sum, o))
+        out[name] = (time.perf_counter() - t0) / repeats
     return out
 
 

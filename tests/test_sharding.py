@@ -175,3 +175,21 @@ def test_train_upper_dp_engages_on_indivisible_batch(tmp_path, monkeypatch):
         assert mesh is not None
         assert b % 8 == 0, "batch was not padded to a device multiple"
         assert n_shards == 8, "batch was not sharded over the mesh"
+
+
+def test_init_multihost_arg_plumbing(monkeypatch):
+    """init_multihost forwards the coordinator triple to
+    jax.distributed.initialize (explicit form) and passes nothing in the
+    auto-detect form -- validates the plumbing that a real multi-host slice
+    would exercise (single-host harness cannot run the call itself)."""
+    import jax.distributed
+    from mmego_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    mesh_mod.init_multihost()
+    mesh_mod.init_multihost("10.0.0.1:8476", num_processes=4, process_id=2)
+    assert calls[0] == {}
+    assert calls[1] == {"coordinator_address": "10.0.0.1:8476",
+                        "num_processes": 4, "process_id": 2}

@@ -1,6 +1,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from mmego_tpu.models import upper_local
@@ -14,7 +15,7 @@ def test_upper_local_shapes_and_finite():
     bones = jnp.asarray(np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (2, 1, 1)))
     r = rotation.rot6d_to_matrix(jnp.asarray(rng.randn(2, 4, 6).astype(np.float32)))
     t = jnp.asarray(rng.randn(2, 4, 3).astype(np.float32) * 0.1)
-    joints, q, cloud_h, _ = upper_local.upper_local_apply(
+    joints, q, cloud_h, _ = jax.jit(upper_local.upper_local_apply)(
         params, state, cloud, bones, r, t)
     assert joints.shape == (2, 4, 15, 3)
     assert q.shape == (2, 4, 14, 3, 3)
@@ -34,7 +35,11 @@ def test_conv3d_full_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
-def test_upper_local_trainable():
+@pytest.fixture(scope="module")
+def upper_local_grads():
+    """One JITTED grad of the full local-variant forward, shared by the
+    trainability and gradient-flow tests (eager jax.grad dispatches the whole
+    model op-by-op and dominated the suite's wall time)."""
     params, state = upper_local.upper_local_init(jax.random.PRNGKey(1))
     rng = np.random.RandomState(1)
     cloud = jnp.asarray(rng.randn(1, 3, 32, 6).astype(np.float32))
@@ -48,32 +53,23 @@ def test_upper_local_trainable():
             p, state, cloud, bones, r, t, train=True, rng=jax.random.PRNGKey(2))
         return jnp.sum(jnp.abs(joints - target))
 
-    g = jax.grad(loss_fn)(params)
-    norms = [float(jnp.abs(x).sum()) for x in jax.tree.leaves(g)]
+    return jax.jit(jax.grad(loss_fn))(params)
+
+
+def test_upper_local_trainable(upper_local_grads):
+    norms = [float(jnp.abs(x).sum())
+             for x in jax.tree.leaves(upper_local_grads)]
     assert sum(1 for v in norms if v > 0) > len(norms) * 0.8
 
 
-def test_local_branch_gradients_flow_through_anchor_grouping():
+def test_local_branch_gradients_flow_through_anchor_grouping(upper_local_grads):
     """The local branch sits entirely downstream of the anchor-grouping
     top_k gather; its gradients must be nonzero (the top_k INDICES are
     non-differentiable, the gathered features are not)."""
-    params, state = upper_local.upper_local_init(jax.random.PRNGKey(3))
-    rng = np.random.RandomState(3)
-    cloud = jnp.asarray(rng.randn(1, 3, 32, 6).astype(np.float32))
-    bones = jnp.asarray(rng.randn(1, 20, 3).astype(np.float32) * 0.2)
-    r = jnp.broadcast_to(jnp.eye(3), (1, 3, 3, 3))
-    t = jnp.zeros((1, 3, 3))
-    target = jnp.asarray(rng.randn(1, 3, 15, 3).astype(np.float32))
-
-    def loss_fn(p):
-        joints, _, _, _ = upper_local.upper_local_apply(
-            p, state, cloud, bones, r, t, train=True, rng=jax.random.PRNGKey(4))
-        return jnp.sum(jnp.abs(joints - target))
-
-    g = jax.grad(loss_fn)(params)
     for branch in ("local_pointnet", "local_attn", "voxel", "arnn",
                    "comb_fc1", "comb_fc2"):
-        total = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g[branch]))
+        total = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree.leaves(upper_local_grads[branch]))
         assert total > 0.0, f"no gradient reached params[{branch!r}]"
 
 
