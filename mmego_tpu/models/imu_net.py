@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from mmego_tpu.nn import layers, lstm
@@ -31,6 +32,9 @@ NUM_LAYERS = 2
 OUTPUT = 9
 
 
+# init is jitted: pure + PRNG-deterministic, and eager per-leaf
+# uniform draws cost seconds per net on the 8-device CPU test mesh.
+@partial(jax.jit, static_argnames=("hidden", "num_layers"))
 def imu_net_init(rng, hidden: int = HIDDEN, num_layers: int = NUM_LAYERS) -> dict:
     k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
     return {

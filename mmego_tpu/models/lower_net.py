@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax
+from functools import partial
 import jax.numpy as jnp
 
 from mmego_tpu.nn import layers, lstm
@@ -36,6 +37,9 @@ RNN_DROPOUT = 0.1
 UPPER_JOINTS = 15
 
 
+# init is jitted: pure + PRNG-deterministic, and eager per-leaf
+# uniform draws cost seconds per net on the 8-device CPU test mesh.
+@partial(jax.jit, static_argnames=("hidden",))
 def lower_net_init(rng, hidden: int = HIDDEN) -> Tuple[dict, dict]:
     keys = jax.random.split(rng, 16)
     params, state = {}, {}

@@ -51,6 +51,9 @@ def _conv3d_full_apply(p, x):
     return xf @ wf.T + p["b"]
 
 
+# init is jitted: pure + PRNG-deterministic, and eager per-leaf
+# uniform draws cost seconds per net on the 8-device CPU test mesh.
+@jax.jit
 def upper_local_init(rng) -> Tuple[dict, dict]:
     keys = jax.random.split(rng, 16)
     params, state = {}, {}

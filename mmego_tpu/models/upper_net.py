@@ -37,6 +37,9 @@ RNN_LAYERS = 3
 RNN_DROPOUT = 0.1
 
 
+# init is jitted: pure + PRNG-deterministic, and eager per-leaf
+# uniform draws cost seconds per net on the 8-device CPU test mesh.
+@jax.jit
 def upper_net_init(rng) -> Tuple[dict, dict]:
     keys = jax.random.split(rng, 12)
     params, state = {}, {}

@@ -16,12 +16,26 @@ def _toy_inputs(rng, b=2, l=20):
                                 (b, 1, 1))))
 
 
+def _small_cascade(key):
+    """Full cascade pytree with a shrunk IMU stage: generating/serialising
+    the production 23M-param IMU net dominated these tests' wall time and
+    adds nothing to what they assert."""
+    import unittest.mock as mock
+    from mmego_tpu.models import imu_net
+    orig = imu_net.imu_net_init
+    with mock.patch.object(cascade.imu_net, "imu_net_init",
+                           lambda rng: orig(rng, hidden=32)):
+        return cascade.cascade_init(key)
+
+
 def test_cascade_shapes_and_jit():
-    params, state = cascade.cascade_init(jax.random.PRNGKey(0))
+    params, state = _small_cascade(jax.random.PRNGKey(0))
     rng = np.random.RandomState(0)
     cloud, imu, bones = _toy_inputs(rng)
-    fn = jax.jit(lambda c, i, bn: cascade.cascade_apply(params, state, c, i, bn))
-    out = fn(cloud, imu, bones)
+    # params as ARGUMENTS, as in production (a closure would embed the
+    # weights as HLO constants -- the documented slow-compile antipattern)
+    fn = jax.jit(cascade.cascade_apply)
+    out = fn(params, state, cloud, imu, bones)
     assert out["r"].shape == (2, 20, 3, 3)
     assert out["upper"].shape == (2, 20, 15, 3)
     assert out["lower"].shape == (2, 20, 8, 3)
@@ -41,7 +55,7 @@ def test_assemble_skeleton_lower_overwrites_hips():
 
 
 def test_store_roundtrip_cascade_params():
-    params, state = cascade.cascade_init(jax.random.PRNGKey(1))
+    params, state = _small_cascade(jax.random.PRNGKey(1))
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "ck.npz")
         store.save(path, params)
@@ -53,7 +67,7 @@ def test_store_roundtrip_cascade_params():
 def test_orbax_roundtrip():
     pytest = __import__("pytest")
     pytest.importorskip("orbax.checkpoint")
-    params, _ = cascade.cascade_init(jax.random.PRNGKey(2))
+    params, _ = _small_cascade(jax.random.PRNGKey(2))
     import tempfile
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "ck")
