@@ -89,6 +89,9 @@ class Config:
     batch_size: int = 20
     early_stop_patience: int = 30
     save_slot: int = 50
+    # also write the best-eval-loss checkpoint as model/best.npz (the
+    # reference saves only at stop time, patience epochs past the best)
+    save_best: bool = True
 
     # Joint counts.
     joint_num_all: int = 21

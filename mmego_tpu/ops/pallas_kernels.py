@@ -22,7 +22,6 @@ with huge margin.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp

@@ -74,16 +74,48 @@ def _pad_batch(arrays, batch: int):
     return padded, jnp.asarray(w)
 
 
+class _Resident:
+    """Device-resident copy of a split's batch fields.
+
+    Training previously re-sliced numpy on the host and shipped ~5 MB of
+    fresh batch arrays to the device EVERY step; through the tunneled TPU
+    backend that transfer dominated epoch time.  The whole sample set is a
+    few hundred MB -- trivially HBM-resident -- so it is pushed once and
+    batches become on-device ``jnp.take`` gathers driven by a tiny index
+    vector (the only per-step host->device traffic)."""
+
+    def __init__(self, data, fields):
+        self.n = len(data)
+        self.fields = tuple(fields)
+        self.arrays = [jnp.asarray(getattr(data, f)) for f in fields]
+
+    def __len__(self):
+        return self.n
+
+
 def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields,
                    pad: bool = True):
     """Shuffled batches.  pad=True gives fixed shapes (padded tail, masked
     weights; safe when BN runs on running stats).  pad=False yields the exact
     ragged final batch (one extra compile) -- required when train-mode
     BatchNorm statistics must not see duplicated padding rows (the reference
-    runs the smaller ragged batch through BN as-is)."""
+    runs the smaller ragged batch through BN as-is).
+
+    ``data`` may be a host split (numpy slicing + per-batch H2D copy) or a
+    ``_Resident`` (on-device gather; bit-identical batch values)."""
     order = rng.permutation(len(data))
     for start in range(0, len(data), batch):
         idx = order[start:start + batch]
+        m = len(idx)
+        if isinstance(data, _Resident):
+            if pad and m < batch:
+                idx = np.concatenate([idx, np.repeat(idx[-1:], batch - m)])
+            idx_d = jnp.asarray(idx.astype(np.int32))
+            arrays = [jnp.take(a, idx_d, axis=0) for a in data.arrays]
+            w = jnp.asarray((np.arange(len(idx)) < m).astype(np.float32)) \
+                if pad else jnp.ones((m,), jnp.float32)
+            yield arrays, w
+            continue
         sl = data.take(idx)
         arrays = [getattr(sl, f) for f in fields]
         if pad:
@@ -125,6 +157,40 @@ def _shard(mesh, arrays, w):
         w = jnp.concatenate([w, jnp.zeros((rem,), w.dtype)], axis=0)
     s = mesh_mod.batch_sharding(mesh)
     return [jax.device_put(a, s) for a in arrays], jax.device_put(w, s)
+
+
+class _BestTracker:
+    """Retains the best-eval-loss params seen during a run and writes them as
+    ``best.npz`` (+ ``best.state.npz``) next to the epoch checkpoints.
+
+    The reference's protocol saves at early-stop time, which by construction
+    is ``patience`` epochs past the best model; keeping the best is free
+    (jax arrays are immutable, so 'snapshot' = holding the pytree reference)
+    and the stale-at-stop artifact is still written for protocol parity.
+    """
+
+    def __init__(self, model_dir: str, enabled: bool = True):
+        self.model_dir = model_dir
+        self.enabled = enabled
+        self.best_loss = None
+        self.params = None
+        self.state = None
+
+    def update(self, eval_loss: float, params, state=None):
+        if self.enabled and (self.best_loss is None
+                             or eval_loss < self.best_loss):
+            self.best_loss = eval_loss
+            self.params, self.state = params, state
+
+    def save(self):
+        if not self.enabled or self.params is None:
+            return None
+        path = os.path.join(self.model_dir, "best.npz")
+        store.save(path, self.params)
+        if self.state is not None:
+            store.save(os.path.join(self.model_dir, "best.state.npz"),
+                       self.state)
+        return path
 
 
 class _Logger:
@@ -184,7 +250,9 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     eval_step = jax.jit(loss_fn)
 
     fields = ("imu", "key", "r_r0r")
+    train, test = _Resident(train, fields), _Resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
     ckpt_path = None
     denom_tr = cfg.frame_no
@@ -206,6 +274,7 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         if verbose:
             print(f"epoch {epoch + 1}: train {train_loss:.4f} eval {eval_loss:.4f} "
                   f"({time.time() - t0:.1f}s)")
+        best.update(eval_loss, params)
         should_stop = stopper(eval_loss)
         if (epoch + 1) % cfg.save_slot == 0 or should_stop \
                 or epoch + 1 == epochs:
@@ -217,6 +286,7 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
             if verbose:
                 print("Early stopping")
             break
+    best.save()
     log.close()
     return params, ckpt_path
 
@@ -304,7 +374,9 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         return loss, per_joint, n
 
     fields = ("cloud", "key", "imu", "bones")
+    train, test = _Resident(train, fields), _Resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
     key_rng = jax.random.PRNGKey(seed + 1)
     ckpt_path = None
@@ -337,6 +409,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         if verbose:
             print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
                   f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
+        best.update(eval_loss, params, state)
         should_stop = stopper(eval_loss)
         if (epoch + 1) % cfg.save_slot == 0 or should_stop \
                 or epoch + 1 == epochs:
@@ -349,6 +422,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             if verbose:
                 print("Early stopping")
             break
+    best.save()
     log.close()
     return (params, state), ckpt_path
 
@@ -426,7 +500,9 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         return loss, per_joint, n
 
     fields = ("cloud", "key", "imu", "bones")
+    train, test = _Resident(train, fields), _Resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
+    best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
     key_rng = jax.random.PRNGKey(seed + 2)
     ckpt_path = None
@@ -456,6 +532,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         if verbose:
             print(f"epoch {epoch + 1}: eval {eval_loss:.4f} "
                   f"err {eval_acc * 100:.2f}cm ({time.time() - t0:.1f}s)")
+        best.update(eval_loss, params, state)
         should_stop = stopper(eval_loss)
         if (epoch + 1) % cfg.save_slot == 0 or should_stop \
                 or epoch + 1 == epochs:
@@ -468,5 +545,6 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             if verbose:
                 print("Early stopping")
             break
+    best.save()
     log.close()
     return (params, state), ckpt_path
