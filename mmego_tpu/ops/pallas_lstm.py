@@ -225,18 +225,7 @@ def _fused_direction(p: dict, xs, reverse: bool, block_b: int) -> jnp.ndarray:
     )(*xs, *wi_parts, wh, b)
 
 
-def fused_stack_tm(params, x: jnp.ndarray, block_b: int = BLOCK_B):
-    """Whole bidirectional stack; returns TIME-MAJOR per-direction halves.
-
-    Args:
-      params: nn.lstm layer list [{"fwd": {...}, "bwd": {...}}, ...].
-      x: (B, T, F) float input (torch batch_first layout).
-    Returns:
-      (y_fwd, y_bwd): each (T, BP, H) bf16 with BP = B padded to a block
-      multiple -- callers slicing batch rows must take [:, :B].  Keeping the
-      halves split and time-major lets callers (e.g. the IMU attention pool)
-      consume them without the transpose/concat copies.
-    """
+def _fused_stack_tm_impl(params, x: jnp.ndarray, block_b: int = BLOCK_B):
     b, t, f = x.shape
     block_b = min(block_b, _round_up(b, 8))
     bp = _round_up(b, block_b)
@@ -251,8 +240,90 @@ def fused_stack_tm(params, x: jnp.ndarray, block_b: int = BLOCK_B):
     return xs[0], xs[1]
 
 
-def fused_stack(params, x: jnp.ndarray, block_b: int = BLOCK_B) -> jnp.ndarray:
-    """Whole stack with the nn.lstm interface: (B, T, F) -> (B, T, 2H) f32."""
-    y_f, y_b = fused_stack_tm(params, x, block_b)
+def _scan_halves(params, x):
+    """Reference lax.scan stack; returns the final layer's direction halves
+    (each (B, T, H) f32).  Used as the differentiation surrogate below."""
+    from mmego_tpu.nn import lstm as lstm_mod
+
+    out = x
+    for layer in params:
+        y_f, _ = lstm_mod._scan_direction(layer["fwd"], out, False, None, None)
+        y_b, _ = lstm_mod._scan_direction(layer["bwd"], out, True, None, None)
+        out = jnp.concatenate([y_f, y_b], axis=-1)
+    return y_f, y_b
+
+
+# The kernels carry no JVP/transpose rules, but callers legitimately
+# differentiate through eval-mode forwards (e.g. stage-1 training runs the
+# net with dropout 0 => train=False, Train_IMU.py:50).  custom_vjp makes
+# that work: the PRIMAL pass keeps the fused kernels; the BACKWARD pass
+# recomputes with the lax.scan stack and differentiates that.  Gradients are
+# therefore the scan path's (f32) gradients -- self-consistent, and within
+# bf16 storage noise of the kernel's forward.  (Forward-mode jvp of these
+# entry points is unsupported, as with any custom_vjp.)
+
+@jax.custom_vjp
+def fused_stack_tm(params, x: jnp.ndarray):
+    """Whole bidirectional stack; returns TIME-MAJOR per-direction halves.
+
+    Args:
+      params: nn.lstm layer list [{"fwd": {...}, "bwd": {...}}, ...].
+      x: (B, T, F) float input (torch batch_first layout).
+    Returns:
+      (y_fwd, y_bwd): each (T, BP, H) bf16 with BP = B padded to a block
+      multiple -- callers slicing batch rows must take [:, :B].  Keeping the
+      halves split and time-major lets callers (e.g. the IMU attention pool)
+      consume them without the transpose/concat copies.
+    """
+    return _fused_stack_tm_impl(params, x)
+
+
+def _fused_stack_tm_fwd(params, x):
+    return _fused_stack_tm_impl(params, x), (params, x)
+
+
+def _fused_stack_tm_bwd(res, cts):
+    params, x = res
+    g_f, g_b = cts
+    b = x.shape[0]
+
+    def ref(p, xx):
+        y_f, y_b = _scan_halves(p, xx)
+        return jnp.swapaxes(y_f, 0, 1), jnp.swapaxes(y_b, 0, 1)
+
+    _, vjp = jax.vjp(ref, params, x)
+    return vjp((g_f[:, :b].astype(jnp.float32),
+                g_b[:, :b].astype(jnp.float32)))
+
+
+fused_stack_tm.defvjp(_fused_stack_tm_fwd, _fused_stack_tm_bwd)
+
+
+def _fused_stack_impl(params, x):
+    y_f, y_b = _fused_stack_tm_impl(params, x)
     out = jnp.concatenate([y_f, y_b], axis=-1).astype(jnp.float32)
     return jnp.swapaxes(out, 0, 1)[: x.shape[0]]
+
+
+@jax.custom_vjp
+def fused_stack(params, x: jnp.ndarray) -> jnp.ndarray:
+    """Whole stack with the nn.lstm interface: (B, T, F) -> (B, T, 2H) f32."""
+    return _fused_stack_impl(params, x)
+
+
+def _fused_stack_fwd(params, x):
+    return _fused_stack_impl(params, x), (params, x)
+
+
+def _fused_stack_bwd(res, g):
+    params, x = res
+
+    def ref(p, xx):
+        y_f, y_b = _scan_halves(p, xx)
+        return jnp.concatenate([y_f, y_b], axis=-1)
+
+    _, vjp = jax.vjp(ref, params, x)
+    return vjp(g.astype(jnp.float32))
+
+
+fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)

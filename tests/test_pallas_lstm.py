@@ -71,3 +71,29 @@ def test_fused_stack_matches_scan_stack():
                                rtol=0, atol=3e-2)
     corr = np.corrcoef(np.asarray(got).ravel(), np.asarray(want).ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_fused_stack_differentiable_via_scan_vjp():
+    """Eval-mode forwards are legitimately differentiated (stage-1 training
+    runs with train=False, dropout 0 -- Train_IMU.py:50).  The kernel's
+    custom_vjp must route the backward pass through the scan surrogate and
+    produce gradients matching the pure-scan path."""
+    from mmego_tpu.ops import pallas_ctl
+
+    params = lstm_mod.lstm_init(jax.random.PRNGKey(5), 12, 8, 2, True)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(5, 6, 12).astype(np.float32))
+
+    def loss(p, path_pallas):
+        with pallas_ctl.override(path_pallas):
+            out, _ = lstm_mod.lstm_apply(p, x)
+        return jnp.sum(out * out)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_kernel = jax.grad(lambda p: loss(p, True))(params)
+    g_scan = jax.grad(lambda p: loss(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g_kernel), jax.tree.leaves(g_scan)):
+        # backward recomputes via the scan in f32; only the incoming
+        # cotangents differ (bf16 forward values), so gradients agree tightly
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=0.05)

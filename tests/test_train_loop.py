@@ -88,3 +88,16 @@ def test_train_upper_then_lower_cascade(tiny_cfg):
         (lower_p, lower_s), lower_ckpt = loop.train_lower(
             cfg2, max_epochs=2, verbose=False)
         assert os.path.exists(lower_ckpt)
+
+
+def test_best_checkpoint_written(tiny_cfg):
+    """cfg.save_best writes model/best.npz holding the best-eval params."""
+    import unittest.mock as mock
+    orig = imu_net.imu_net_init
+    with mock.patch.object(loop.imu_net, "imu_net_init",
+                           lambda rng: orig(rng, hidden=16)):
+        params, _ = loop.train_imu(tiny_cfg, max_epochs=2, verbose=False)
+    best = os.path.join(tiny_cfg.report_root, "7", "model", "best.npz")
+    assert os.path.exists(best)
+    loaded = store.load(best, params)
+    assert len(jax.tree.leaves(loaded)) == len(jax.tree.leaves(params))
