@@ -1,0 +1,59 @@
+"""Coverage for small load-bearing seams: metric packing, the ordered
+prefetching loader, and the Pallas kernel switch."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmego_tpu.train import metrics
+from mmego_tpu.data import ingest
+from mmego_tpu.ops import pallas_ctl
+
+
+def test_metric_sums_pack_roundtrip():
+    rng = np.random.RandomState(0)
+    s = {
+        "joint_sum": jnp.asarray(rng.rand(21).astype(np.float32)),
+        "bone_sum": jnp.asarray(rng.rand(20).astype(np.float32)),
+        "upper_sum": jnp.asarray(np.float32(3.5)),
+        "lower_sum": jnp.asarray(np.float32(4.5)),
+        "count": jnp.asarray(np.float32(840.0)),
+    }
+    v = metrics.pack_metric_sums(s)
+    assert v.shape == (metrics.PACKED_LEN,)
+    out = metrics.unpack_metric_sums(np.asarray(v))
+    np.testing.assert_array_equal(out["joint_sum"], np.asarray(s["joint_sum"]))
+    np.testing.assert_array_equal(out["bone_sum"], np.asarray(s["bone_sum"]))
+    assert out["upper_sum"] == 3.5 and out["lower_sum"] == 4.5
+    assert out["count"] == 840.0
+
+
+def test_iter_loaded_preserves_order_with_workers():
+    """The prefetching loader must yield results in exact walk order (the
+    consuming thread owns all stateful calibration/RNG work)."""
+    import time
+
+    def slow_load(p):
+        # jitter so out-of-order completion would be exposed
+        time.sleep(0.001 * (hash(p) % 7))
+        return {"path": p}
+
+    paths = [f"f{i:03d}.mat" for i in range(50)]
+    got = [d["path"] for d in ingest._iter_loaded(slow_load, paths, workers=4)]
+    assert got == paths
+    got1 = [d["path"] for d in ingest._iter_loaded(slow_load, paths, workers=0)]
+    assert got1 == paths
+
+
+def test_pallas_ctl_override_and_env(monkeypatch):
+    with pallas_ctl.override(True):
+        assert pallas_ctl.enabled("lstm") is True
+        assert pallas_ctl.enabled("attn") is True
+        with pallas_ctl.override(False):
+            assert pallas_ctl.enabled("lstm") is False
+        assert pallas_ctl.enabled("lstm") is True
+    # CPU backend (the test mesh): everything off by default, env cannot
+    # force kernels onto a backend that cannot lower them
+    assert pallas_ctl.enabled("lstm") is False
+    monkeypatch.setenv("MMEGO_PALLAS", "1")
+    assert pallas_ctl.enabled("lstm") is False
+    monkeypatch.delenv("MMEGO_PALLAS")
