@@ -4,6 +4,11 @@ Initialises from the shipped torch checkpoint; lr 3e-4 matches the shipped
 lower checkpoint's provenance (epoch161_batch20frame20lr0.0003).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import glob
 
 from mmego_tpu.config import Config

@@ -7,6 +7,11 @@ shipped torch checkpoint and follows the reference protocol (Adam 3e-5,
 batch 20, EarlyStopping 30).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from mmego_tpu.config import Config
 from mmego_tpu.train import loop
 

@@ -9,6 +9,11 @@ average error along the ladder: 3.623 -> 3.471 -> 3.421 -> 3.405 cm.
 Run AFTER the stage-1/2 checkpoints exist (see README quick start).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import shutil
 
 from mmego_tpu.config import Config, demo_config

@@ -6,6 +6,11 @@ framework trains its own.  Protocol matches the reference
 up to 600 epochs with EarlyStopping(30).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import shutil
 
 from mmego_tpu.config import Config

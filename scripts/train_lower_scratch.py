@@ -8,6 +8,11 @@ run, random init).  lr 3e-4 matches the reference lower stage's provenance
 Usage: python scripts/train_lower_scratch.py [upper_run_idx] [out_idx]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import re
 import sys
 import glob

@@ -1,6 +1,7 @@
 """Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -60,11 +61,13 @@ def test_pad_to_multiple():
     assert padded2.shape == (8, 1) and n2 == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -135,6 +138,7 @@ def _train_upper_params(cfg, small_imu, dp: bool, monkeypatch):
     return jax.device_get(params)
 
 
+@pytest.mark.slow
 def test_train_upper_dp_matches_single_device(tmp_path, monkeypatch):
     """Training a REAL stage data-parallel on the 8-device mesh must agree
     with the single-device run: same data order, same rng keys, only the
@@ -150,6 +154,7 @@ def test_train_upper_dp_matches_single_device(tmp_path, monkeypatch):
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_train_upper_dp_engages_on_indivisible_batch(tmp_path, monkeypatch):
     """batch_size 6 on an 8-device mesh: the batch must be PADDED and
     sharded (the round-1 silent unsharded fallback is gone)."""

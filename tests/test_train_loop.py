@@ -71,6 +71,7 @@ def test_train_imu_runs_and_checkpoints(tiny_cfg):
         lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()), params, loaded))
 
 
+@pytest.mark.slow
 def test_train_upper_then_lower_cascade(tiny_cfg):
     import unittest.mock as mock
     orig = imu_net.imu_net_init

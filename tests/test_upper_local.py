@@ -73,6 +73,7 @@ def test_local_branch_gradients_flow_through_anchor_grouping(upper_local_grads):
         assert total > 0.0, f"no gradient reached params[{branch!r}]"
 
 
+@pytest.mark.slow
 def test_train_upper_local_via_trainer(tmp_path, monkeypatch):
     """cfg.upper_local routes the stage-2 trainer onto UpperNetwlocal and the
     loss moves; checkpoints land under the run tree."""
