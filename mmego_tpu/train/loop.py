@@ -52,13 +52,21 @@ def _run_dirs(cfg: Config):
 
 
 def _optimizer(lr: float, weight_decay: float = 0.0):
-    steps = []
-    if weight_decay:
-        # torch Adam weight_decay folds wd*param into the gradient *before*
-        # the moment updates (Train_IMU.py:71-72) -- so decay goes first.
-        steps.append(optax.add_decayed_weights(weight_decay))
-    steps += [optax.scale_by_adam(), optax.scale(-lr)]
-    return optax.chain(*steps)
+    # lr rides as an inject_hyperparams state value, NOT a closure constant:
+    # baked-in it becomes part of the train-step HLO, so every distinct lr
+    # (e.g. each rung of a fine-tuning ladder) forces a full recompile
+    # (~minutes cold through the tunneled backend).  As state, one compiled
+    # program serves every lr -- and lr schedules become a state update.
+    def make(lr):
+        steps = []
+        if weight_decay:
+            # torch Adam weight_decay folds wd*param into the gradient
+            # *before* the moment updates (Train_IMU.py:71-72) -- decay first.
+            steps.append(optax.add_decayed_weights(weight_decay))
+        steps += [optax.scale_by_adam(), optax.scale(-lr)]
+        return optax.chain(*steps)
+
+    return optax.inject_hyperparams(make)(lr=lr)
 
 
 def _pad_batch(arrays, batch: int):
