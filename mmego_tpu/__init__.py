@@ -25,11 +25,16 @@ def _enable_compile_cache():
         return
     import jax
 
-    path = _os.environ.get(
-        "MMEGO_COMPILE_CACHE_DIR",
-        _os.path.join(_os.path.dirname(_os.path.dirname(
-            _os.path.abspath(__file__))), ".cache", "jax"))
     try:
+        if jax.config.jax_compilation_cache_dir:
+            # the embedding application (e.g. tests/conftest.py) already
+            # configured a cache -- its dir AND thresholds win; overriding
+            # here would silently un-persist its entries
+            return
+        path = _os.environ.get(
+            "MMEGO_COMPILE_CACHE_DIR",
+            _os.path.join(_os.path.dirname(_os.path.dirname(
+                _os.path.abspath(__file__))), ".cache", "jax"))
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

@@ -87,18 +87,6 @@ def _cascade_jit(params, state, cloud, imu, bones, lower_pc_no, imu_used):
                                  lower_pc_no, imu_used)
 
 
-@partial(jax.jit, static_argnums=(7, 8))
-def _cascade_metrics_jit(params, state, cloud, imu, bones, key_gt, w,
-                         lower_pc_no, imu_used):
-    """Cascade + on-device metric accumulation: only tiny per-batch sums
-    cross back to the host (D2H of bulk predictions over a tunneled TPU costs
-    more than the compute)."""
-    out = cascade.cascade_apply(params, state, cloud, imu, bones,
-                                lower_pc_no, imu_used)
-    return metrics_mod.metric_sums(out["all"], key_gt, out["upper"],
-                                   out["lower"], w)
-
-
 @partial(jax.jit, static_argnums=(7, 8), donate_argnums=(9,))
 def _cascade_metrics_acc_jit(params, state, cloud, imu, bones, key_gt, w,
                              lower_pc_no, imu_used, acc):

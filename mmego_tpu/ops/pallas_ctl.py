@@ -4,6 +4,12 @@ Kernel use is decided at TRACE time, so a single process can jit the same
 model both ways (e.g. the benchmark's CPU cross-check traces a scan-only
 program with ``backend='cpu'`` while the TPU program uses the kernels).
 
+CAVEAT: the switch is NOT part of any jit cache key.  A program jitted while
+kernels were on is reused verbatim by later same-shape calls even inside an
+``override(False)`` block.  To compare paths at the same shapes, construct a
+FRESH ``jax.jit`` per setting (as ``utils/selfcheck.cpu_crosscheck`` does)
+or call ``jax.clear_caches()`` between settings.
+
 Resolution order:
   1. an active ``override(...)`` context (tests force-enable with interpret
      mode; the CPU cross-check force-disables),

@@ -9,14 +9,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import glob
-
 from mmego_tpu.config import Config
 from mmego_tpu.train import loop
+from train_lower_scratch import latest_ckpt
 
 if __name__ == "__main__":
-    upper_ckpts = sorted(glob.glob("runs/301/model/*.npz"))
-    upper_ckpt = [p for p in upper_ckpts if not p.endswith(".state.npz")][-1]
+    # numeric pick: lexicographic sorted(...)[-1] returns epoch99 over
+    # epoch161, silently resuming from a stale model
+    upper_ckpt = latest_ckpt(301)
     print("using upper:", upper_ckpt)
     cfg = Config(idx=302, lower_pretrained=True, lr=3e-4,
                  model_upper_path=upper_ckpt)

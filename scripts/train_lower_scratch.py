@@ -13,9 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import re
-import sys
 import glob
+import re
 
 from mmego_tpu.config import Config
 from mmego_tpu.train import loop
@@ -23,13 +22,15 @@ from mmego_tpu.train import loop
 
 def latest_ckpt(run_idx: int) -> str:
     """Newest (highest-epoch) param checkpoint of a run, sorted NUMERICALLY
-    (lexicographic sort puts epoch99 after epoch349)."""
-    paths = [p for p in glob.glob(f"runs/{run_idx}/model/*.npz")
-             if not p.endswith(".state.npz")]
+    (lexicographic sort puts epoch99 after epoch349).  Skips non-epoch files
+    such as the best-eval snapshot ``best.npz`` (cfg.save_best)."""
+    paths = [(int(m.group(1)), p)
+             for p in glob.glob(f"runs/{run_idx}/model/*.npz")
+             if not p.endswith(".state.npz")
+             for m in [re.search(r"epoch(\d+)", os.path.basename(p))] if m]
     if not paths:
-        raise FileNotFoundError(f"no checkpoints under runs/{run_idx}/model")
-    epoch = lambda p: int(re.search(r"epoch(\d+)", p).group(1))
-    return max(paths, key=epoch)
+        raise FileNotFoundError(f"no epoch checkpoints under runs/{run_idx}/model")
+    return max(paths)[1]
 
 
 if __name__ == "__main__":
