@@ -52,11 +52,14 @@ def main():
                           "error": "backend selfcheck failed"}))
         return 1
 
-    # sweep device batch sizes, best-of-3 timed passes each (steady-state
-    # throughput; compile excluded by the warmup inside evaluate())
+    # sweep device batch sizes, best-of-5 timed passes each (steady-state
+    # throughput; compile excluded by the warmup inside evaluate()).  Five
+    # passes because the tunneled backend sporadically stalls a host fetch
+    # for seconds-to-minutes (docs/PERFORMANCE.md) -- best-of absorbs the
+    # outliers; each pass is ~0.1 s of device time.
     best = None
     for batch in (167, 835):
-        for _ in range(3):
+        for _ in range(5):
             m = infer.evaluate(cfg, data=data, params=params, state=state,
                                verbose=False, batch=batch,
                                return_preds=False)
