@@ -7,11 +7,11 @@ init, trained against the scratch upper), then the same LR-ladder
 refinement as the headline weights (runs/449-455: IMU lr 1e-5, Upper
 3e-5 -> 1e-5, Lower 1e-4 -> 3e-5 -> 1e-5, each early-stopped).
 
-Recorded result (2026-08-17, one TPU v5e chip):
-    avg 3.352 cm  |  upper 3.209  |  lower 3.565
+Recorded result (2026-08-17, one TPU v5e chip, two ladder iterations):
+    avg 3.303 cm  |  upper 3.165  |  lower 3.509
 (pre-refinement cascade: 3.645) vs the reference's shipped-checkpoint
 numbers: avg 3.893, upper 3.51, lower 4.49 (README.md) -- the standalone
-training path beats the reference by 14%.
+training path beats the reference by 15%.
 """
 
 import os
