@@ -97,3 +97,30 @@ def test_fused_stack_differentiable_via_scan_vjp():
         # cotangents differ (bf16 forward values), so gradients agree tightly
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.05, atol=0.05)
+
+
+def test_imu_net_tm_pooling_grad_matches_scan_path():
+    """imu_net's kernel path (fused_stack_tm + time-major pooling) must be
+    differentiable and agree with the scan path's gradients -- this is the
+    exact trace stage-1 training hits on TPU (train=False, dropout 0)."""
+    from mmego_tpu.models import imu_net
+    from mmego_tpu.ops import pallas_ctl
+
+    params = imu_net.imu_net_init(jax.random.PRNGKey(7), hidden=16,
+                                  num_layers=2)
+    rng = np.random.RandomState(7)
+    imu = jnp.asarray(rng.randn(3, 4, 20, 15).astype(np.float32))
+
+    def loss(p, path_pallas):
+        with pallas_ctl.override(path_pallas):
+            r, t = imu_net.imu_net_apply(p, imu)
+        return jnp.sum(r * r) + jnp.sum(t * t)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_kernel = jax.grad(lambda p: loss(p, True))(params)
+    g_scan = jax.grad(lambda p: loss(p, False))(params)
+    flat_k = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_kernel)])
+    flat_s = jnp.concatenate([x.ravel() for x in jax.tree.leaves(g_scan)])
+    corr = np.corrcoef(np.asarray(flat_k), np.asarray(flat_s))[0, 1]
+    assert corr > 0.999
+    assert float(jnp.abs(flat_k).sum()) > 0
