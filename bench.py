@@ -5,7 +5,10 @@ Same work as the reference's ``python main.py --infer`` (835 windows x 20
 frames through IMU_Net -> Upper_Net -> Lower_Net), measured end-to-end after
 one warmup compile.  Baseline: 29.5 it/s (reference README.md:97).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit", "vs_baseline"}.
+A second, training-throughput JSON line goes to stderr (stdout stays a single
+line for the driver); ``python bench.py --train`` emits only the training
+line, on stdout.
 """
 
 import json
@@ -13,17 +16,20 @@ import sys
 
 BASELINE_IT_S = 29.5
 
+# The reference publishes no training numbers at all (SURVEY.md §4); its only
+# training-cadence artifact is the tqdm it/s readout of its per-batch host
+# loop (reference Train_IMU.py:95), which shares the per-window host loop
+# with its 29.5 it/s inference path.  An OPTIMISTIC floor for one reference
+# epoch (668 train + 167 eval windows at 29.5 windows/s, pretending backward
+# is free) is therefore (668+167)/29.5 = 28.3 s per stage.
+BASELINE_EPOCH_S = (668 + 167) / BASELINE_IT_S
 
-def main():
-    from mmego_tpu.config import demo_config
+
+def _load_params(cfg):
     from mmego_tpu import infer
-    from mmego_tpu.data import dataset as dataset_mod
 
-    cfg = demo_config()
-    data = dataset_mod.load_split(cfg, "vis")
     try:
-        params, state = infer.load_cascade_params(cfg)
-        trained_imu = True
+        return infer.load_cascade_params(cfg) + (True,)
     except FileNotFoundError:
         # No trained IMU checkpoint yet: keep the benchmark runnable with a
         # randomly initialised stage 1 (identical compute/throughput).
@@ -36,21 +42,74 @@ def main():
             imu=imu_net.imu_net_init(jax.random.PRNGKey(0)),
             upper=upper_p, lower=lower_p)
         state = cascade.CascadeState(upper=upper_s, lower=lower_s)
-        trained_imu = False
+        return params, state, False
 
+
+def _selfcheck(params, state, data) -> bool:
     # backend numerics audit first: the cascade is batch-invariant by
     # construction, so any deviation is accelerator miscompilation -- fail
     # loudly instead of publishing corrupted numbers.
     # tol_cpu: cross-backend agreement with the CPU ground truth.  bf16 MXU
-    # recurrence noise measures <2 cm worst-case per joint (nn/lstm.py:30-36);
-    # miscompiles observed on this backend exceed 0.9 m.  3 cm separates them
-    # with margin on both sides.
+    # recurrence noise measures ~1.9 cm worst-case per joint
+    # (nn/lstm.py:30-36); miscompiles observed on this backend exceed 0.9 m.
+    # 2.5 cm pins today's margin (a regression past it means a kernel edit
+    # ate real accuracy, not noise); the 0.05 cm metric gap gate inside
+    # selfcheck.run guards the demo-set MEAN the same way.
     from mmego_tpu.utils import selfcheck
-    if not selfcheck.run(params, state, data, batch=835, tol_cpu=0.03):
+    return selfcheck.run(params, state, data, batch=835, tol_cpu=0.025)
+
+
+def train_bench() -> dict:
+    """Time real epochs of all three stage trainers (auditable counterpart
+    of docs/PERFORMANCE.md's training-throughput prose).
+
+    Each stage runs ``EPOCHS`` full epochs (668 train windows + 167 eval
+    windows, batch 20, device-resident data) from its normal entry point;
+    the first epoch absorbs compiles and is discarded, the minimum of the
+    rest is reported (same best-of policy as the inference line: the
+    tunneled backend sporadically stalls a fetch for seconds).
+    """
+    from mmego_tpu.config import Config
+    from mmego_tpu.train import loop
+
+    EPOCHS = 3
+    stages = {}
+    for name, fn, idx in (("imu", loop.train_imu, 9801),
+                          ("upper", loop.train_upper, 9802),
+                          ("lower", loop.train_lower, 9803)):
+        times = []
+        cfg = Config(idx=idx, save_best=False)
+        fn(cfg, verbose=False, max_epochs=EPOCHS, timings=times)
+        stages[f"{name}_s"] = round(min(times[1:]), 3)
+    return stages
+
+
+def main(argv):
+    from mmego_tpu.config import demo_config
+    from mmego_tpu import infer
+    from mmego_tpu.data import dataset as dataset_mod
+
+    cfg = demo_config()
+    data = dataset_mod.load_split(cfg, "vis")
+    params, state, trained_imu = _load_params(cfg)
+
+    if not _selfcheck(params, state, data):
         print(json.dumps({"metric": "cascade_inference_throughput",
                           "value": 0.0, "unit": "it/s", "vs_baseline": 0.0,
                           "error": "backend selfcheck failed"}))
         return 1
+
+    if "--train" in argv:
+        stages = train_bench()
+        total = round(sum(stages.values()), 3)
+        print(json.dumps({
+            "metric": "train_epoch_time_all_stages",
+            "value": total,
+            "unit": "s (sum of one epoch per stage: train+eval, 835 windows)",
+            "vs_baseline": round(3 * BASELINE_EPOCH_S / total, 2),
+            "stages": stages,
+        }))
+        return 0
 
     # sweep device batch sizes, best-of-5 timed passes each (steady-state
     # throughput; compile excluded by the warmup inside evaluate()).  Five
@@ -79,8 +138,20 @@ def main():
           f"avg_err={best['avg_cm']:.3f}cm (trained_imu={trained_imu}) "
           f"upper={best['upper_cm']:.3f} lower={best['lower_cm']:.3f} "
           f"rot={best['rot_deg']:.3f}deg", file=sys.stderr)
+    # training-throughput line rides on stderr so the driver's tail records
+    # it while stdout stays a single parseable line.
+    try:
+        stages = train_bench()
+        total = round(sum(stages.values()), 3)
+        print(json.dumps({
+            "metric": "train_epoch_time_all_stages", "value": total,
+            "unit": "s (sum of one epoch per stage: train+eval, 835 windows)",
+            "vs_baseline": round(3 * BASELINE_EPOCH_S / total, 2),
+            "stages": stages}), file=sys.stderr)
+    except Exception as e:  # never corrupt the published inference line
+        print(f"train bench failed: {e!r}", file=sys.stderr)
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1:]))

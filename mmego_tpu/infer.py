@@ -212,7 +212,11 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
         ("upper_s", lambda: upper_fn(cloud, bones, r, t)[0]),
         ("lower_s", lambda: lower_fn(upper_l, cloud_h, bones, r, t)),
     ]:
-        _sync(thunk())  # warm
+        # Warm with the SAME reduce+fetch used in the timed region, so the
+        # timed window contains neither the reduction's first compile nor a
+        # cold fetch path; the one remaining fetch RTT (~26 ms) is amortised
+        # over all `repeats` dispatches.
+        _sync(jax.tree.map(jnp.sum, thunk()))
         # Chain `repeats` async dispatches and force completion once: a
         # per-repeat fetch would add a full tunnel round trip (~26 ms
         # measured) to every sample and swamp the device time.

@@ -26,16 +26,22 @@ Resolution order:
 from __future__ import annotations
 
 import contextlib
+import contextvars
 import os
 
-_OVERRIDE: list = []  # stack of forced values
+# Context-local (not a module global): concurrent tracing from another thread
+# (async compile, parallel tests) inside an ``override(...)`` block must not
+# flip kernel selection for unrelated traces.
+_OVERRIDE: contextvars.ContextVar[tuple] = contextvars.ContextVar(
+    "mmego_pallas_override", default=())
 
 _OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False}
 
 
 def enabled(op: str = "lstm") -> bool:
-    if _OVERRIDE:
-        return _OVERRIDE[-1]
+    stack = _OVERRIDE.get()
+    if stack:
+        return stack[-1]
     import jax
     try:
         on_tpu = jax.default_backend() == "tpu"
@@ -49,8 +55,8 @@ def enabled(op: str = "lstm") -> bool:
 
 @contextlib.contextmanager
 def override(value: bool):
-    _OVERRIDE.append(bool(value))
+    token = _OVERRIDE.set(_OVERRIDE.get() + (bool(value),))
     try:
         yield
     finally:
-        _OVERRIDE.pop()
+        _OVERRIDE.reset(token)

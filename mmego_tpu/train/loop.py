@@ -175,6 +175,14 @@ class _BestTracker:
     is ``patience`` epochs past the best model; keeping the best is free
     (jax arrays are immutable, so 'snapshot' = holding the pytree reference)
     and the stale-at-stop artifact is still written for protocol parity.
+
+    NOTE on which one to ship: "best" is best on the EVAL split.  The
+    refinement ladders (scripts/refine_lower.py etc.) deliberately adopt the
+    stop checkpoint instead -- measured on the demo split, the stop
+    checkpoint matched or beat best.npz in every observed ladder rung
+    (fine-tuning at small LR keeps drifting usefully past the eval-loss
+    minimum); best.npz remains the right artifact when eval loss is the
+    selection criterion.
     """
 
     def __init__(self, model_dir: str, enabled: bool = True):
@@ -226,8 +234,13 @@ class _Logger:
 # ---------------------------------------------------------------------------
 
 def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
-              max_epochs: Optional[int] = None) -> Tuple[dict, str]:
-    """Train stage 1. Returns (params, final checkpoint path)."""
+              max_epochs: Optional[int] = None,
+              timings: Optional[list] = None) -> Tuple[dict, str]:
+    """Train stage 1. Returns (params, final checkpoint path).
+
+    ``timings``, if given, receives one wall-clock seconds entry per epoch
+    (train + eval + the two accumulator fetches) -- the hook ``bench.py
+    --train`` uses to publish auditable training throughput."""
     base, report, model_dir, _ = _run_dirs(cfg)
     log = _Logger(report)
     train = dataset_mod.load_split(cfg, "train")
@@ -243,19 +256,32 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     tx = _optimizer(cfg.lr, weight_decay=1e-3)
     opt_state = tx.init(params)
 
+    denom_tr = cfg.frame_no
+
     def loss_fn(p, imu, key, r_gt, w):
         # stage-1 training runs the net with dropout 0 (Train_IMU.py:50)
         r, t = imu_net.imu_net_apply(p, imu)
         head_gt = key[:, :, 20, :]
         return losses.imu_loss(r, t, r_gt, head_gt, w)
 
-    @jax.jit
-    def train_step(p, o, imu, key, r_gt, w):
+    # Per-step losses accumulate into a donated on-device [sum, count] pair
+    # and are fetched ONCE per epoch: a float(loss) per step costs a full
+    # tunnel round trip (~26 ms), which for the ~34-step stage-1 epoch was
+    # ~0.9 s of pure host-fetch stall (the same antipattern infer.py's
+    # packed accumulator eliminates on the eval path).
+    @partial(jax.jit, donate_argnums=(2,))
+    def train_step(p, o, acc, imu, key, r_gt, w):
         loss, grads = jax.value_and_grad(loss_fn)(p, imu, key, r_gt, w)
         updates, o = tx.update(grads, o, p)
-        return optax.apply_updates(p, updates), o, loss
+        acc = acc + jnp.stack([loss / jnp.sum(w) / denom_tr,
+                               jnp.float32(1.0)])
+        return optax.apply_updates(p, updates), o, acc
 
-    eval_step = jax.jit(loss_fn)
+    @partial(jax.jit, donate_argnums=(1,))
+    def eval_step(p, acc, imu, key, r_gt, w):
+        loss = loss_fn(p, imu, key, r_gt, w)
+        return acc + jnp.stack([loss / jnp.sum(w) / denom_tr,
+                                jnp.float32(1.0)])
 
     fields = ("imu", "key", "r_r0r")
     train, test = _Resident(train, fields), _Resident(test, fields)
@@ -263,21 +289,24 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
     ckpt_path = None
-    denom_tr = cfg.frame_no
     for epoch in range(epochs):
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
-        train_losses = []
+        acc_tr = jnp.zeros((2,), jnp.float32)
         for (imu, key, r_gt), w in _epoch_batches(train, cfg.batch_size, rng, fields):
             (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
-            params, opt_state, loss = train_step(params, opt_state, imu, key, r_gt, w)
-            train_losses.append(float(loss) / float(w.sum()) / denom_tr)
-        eval_losses = []
+            params, opt_state, acc_tr = train_step(
+                params, opt_state, acc_tr, imu, key, r_gt, w)
+        acc_ev = jnp.zeros((2,), jnp.float32)
         for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size, rng, fields):
-            eval_losses.append(float(eval_step(params, imu, key, r_gt, w))
-                               / float(w.sum()) / denom_tr)
-        train_loss = float(np.mean(train_losses))
-        eval_loss = float(np.mean(eval_losses))
+            acc_ev = eval_step(params, acc_ev, imu, key, r_gt, w)
+        # Exactly two host fetches per epoch (train + eval accumulators);
+        # each fetch also forces completion of its dispatch chain.
+        tr, ev = np.asarray(acc_tr), np.asarray(acc_ev)
+        train_loss = float(tr[0] / tr[1])
+        eval_loss = float(ev[0] / ev[1])
+        if timings is not None:
+            timings.append(time.time() - t0)
         log.loss(epoch + 1, eval_loss)
         if verbose:
             print(f"epoch {epoch + 1}: train {train_loss:.4f} eval {eval_loss:.4f} "
@@ -311,7 +340,8 @@ def _load_imu_params(cfg: Config):
 
 
 def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
-                max_epochs: Optional[int] = None):
+                max_epochs: Optional[int] = None,
+                timings: Optional[list] = None):
     """Stage-2 trainer.  With ``cfg.upper_local`` it trains the anchor-voxel
     ``UpperNetwlocal`` variant instead (same trainer protocol; the reference
     defines that module, Net/Upper_Net.py:406-451, but never wires it into a
@@ -372,14 +402,19 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), new_st, o, loss
 
-    @jax.jit
-    def eval_step(p, st, imu_p, cloud, key, imu, bones, w):
+    # Packed per-epoch eval accumulator [loss_norm_sum, batches, per_joint
+    # (15), frames]; donated + fetched once per epoch (a per-batch float()
+    # costs a ~26 ms tunnel RTT each -- see train_imu's train_step note).
+    @partial(jax.jit, donate_argnums=(2,))
+    def eval_step(p, st, acc, imu_p, cloud, key, imu, bones, w):
         loss, (_, joints, target) = forward_loss(
             p, st, imu_p, cloud, key, imu, bones, w, None, False)
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
         per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (15,)
         n = jnp.sum(w) * cfg.frame_no
-        return loss, per_joint, n
+        return acc + jnp.concatenate(
+            [jnp.stack([loss / jnp.sum(w) / cfg.frame_no,
+                        jnp.float32(1.0)]), per_joint, n[None]])
 
     fields = ("cloud", "key", "imu", "bones")
     train, test = _Resident(train, fields), _Resident(test, fields)
@@ -398,17 +433,17 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, imu_params, cloud, key, imu, bones,
                 w, sub)
-        eval_losses, joint_sums, n_frames = [], 0.0, 0.0
+        acc_ev = jnp.zeros((2 + 15 + 1,), jnp.float32)
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, rng, fields):
-            loss, per_joint, n = eval_step(params, state, imu_params, cloud,
-                                           key, imu, bones, w)
-            eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
-            joint_sums = joint_sums + np.asarray(per_joint, np.float64)
-            n_frames += float(n)
-        eval_loss = float(np.mean(eval_losses))
-        per_joint_err = joint_sums / n_frames                       # (15,)
+            acc_ev = eval_step(params, state, acc_ev, imu_params, cloud,
+                               key, imu, bones, w)
+        ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch
+        eval_loss = float(ev[0] / ev[1])
+        per_joint_err = ev[2:17] / ev[17]                           # (15,)
         eval_acc = float(per_joint_err.mean())
+        if timings is not None:
+            timings.append(time.time() - t0)
         # wrist/elbow ids 7,6,11,10 sit at the same local indices in
         # UPPER_JOINT_MAP (Train_Upper.py:118 prints them each epoch)
         hand = per_joint_err[[7, 6, 11, 10]]
@@ -440,7 +475,8 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
 # ---------------------------------------------------------------------------
 
 def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
-                max_epochs: Optional[int] = None):
+                max_epochs: Optional[int] = None,
+                timings: Optional[list] = None):
     base, report, model_dir, _ = _run_dirs(cfg)
     log = _Logger(report)
     train = dataset_mod.load_split(cfg, "train")
@@ -498,14 +534,19 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         updates, o = tx.update(grads, o, p)
         return optax.apply_updates(p, updates), new_st, o, loss
 
-    @jax.jit
-    def eval_step(p, st, frozen, cloud, key, imu, bones, w):
+    # Same packed per-epoch accumulator as train_upper's eval_step
+    # ([loss_norm_sum, batches, per_joint (8), frames], donated, one fetch
+    # per epoch).
+    @partial(jax.jit, donate_argnums=(2,))
+    def eval_step(p, st, acc, frozen, cloud, key, imu, bones, w):
         loss, (_, joints, target) = forward_loss(
             p, st, frozen, cloud, key, imu, bones, w, None, False)
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
         per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (8,)
         n = jnp.sum(w) * cfg.frame_no
-        return loss, per_joint, n
+        return acc + jnp.concatenate(
+            [jnp.stack([loss / jnp.sum(w) / cfg.frame_no,
+                        jnp.float32(1.0)]), per_joint, n[None]])
 
     fields = ("cloud", "key", "imu", "bones")
     train, test = _Resident(train, fields), _Resident(test, fields)
@@ -524,17 +565,17 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, frozen, cloud, key, imu, bones,
                 w, sub)
-        eval_losses, joint_sums, n_frames = [], 0.0, 0.0
+        acc_ev = jnp.zeros((2 + 8 + 1,), jnp.float32)
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, rng, fields):
-            loss, per_joint, n = eval_step(params, state, frozen, cloud, key,
-                                           imu, bones, w)
-            eval_losses.append(float(loss) / float(w.sum()) / cfg.frame_no)
-            joint_sums = joint_sums + np.asarray(per_joint, np.float64)
-            n_frames += float(n)
-        eval_loss = float(np.mean(eval_losses))
-        per_joint_err = joint_sums / n_frames                       # (8,)
+            acc_ev = eval_step(params, state, acc_ev, frozen, cloud, key,
+                               imu, bones, w)
+        ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch
+        eval_loss = float(ev[0] / ev[1])
+        per_joint_err = ev[2:10] / ev[10]                           # (8,)
         eval_acc = float(per_joint_err.mean())
+        if timings is not None:
+            timings.append(time.time() - t0)
         log.loss(epoch + 1, eval_loss)
         log.eval(epoch + 1, eval_acc, per_joint_err.tolist())
         if verbose:

@@ -39,7 +39,14 @@ def batch_invariance(params, state, data, batch: int, probe: int = 16,
 
 def cpu_crosscheck(params, state, data, probe: int = 8,
                    lower_pc_no: int = 64, imu_used: bool = True) -> Dict:
-    """Max deviation of TPU outputs from the CPU backend on probe windows."""
+    """Max deviation of TPU outputs from the CPU backend on probe windows.
+
+    Also reports ``metric_delta_cm``: the |difference| of the probe-set mean
+    joint error between the two backends.  The CPU path traces with Pallas
+    kernels disabled and runs full-f32 math, so this IS the bf16-kernel-vs-
+    f32-scan demo-metric gap (measured once at 0.002 cm, nn/lstm.py:30-36)
+    -- gating on it keeps future kernel edits from silently trading accuracy
+    for speed."""
     from mmego_tpu import infer
     from mmego_tpu.models import cascade
 
@@ -62,17 +69,27 @@ def cpu_crosscheck(params, state, data, probe: int = 8,
     dev = {k: float(np.abs(dev_probe[k] - np.asarray(out[k])).max())
            for k in ("upper", "lower", "all")}
     dev["max"] = max(dev.values())
+    gt = np.asarray(sub.key)                               # (W, L, 21, 3)
+    mean_cm = lambda pred: float(
+        np.sqrt(np.sum((np.asarray(pred, np.float64) - gt) ** 2,
+                       axis=-1)).mean() * 100.0)
+    dev["metric_delta_cm"] = abs(mean_cm(dev_probe["all"])
+                                 - mean_cm(out["all"]))
     return dev
 
 
 def run(params, state, data, batch: int, lower_pc_no: int = 64,
         imu_used: bool = True, tol_batch: float = 5e-3,
-        tol_cpu: Optional[float] = None, verbose: bool = True) -> bool:
+        tol_cpu: Optional[float] = None,
+        tol_metric_cm: float = 0.05, verbose: bool = True) -> bool:
     """Full self-check; returns True when the backend passes.
 
     tol_batch: allowed batch-invariance violation in metres (5 mm default --
     genuine low-precision noise stays well under this; miscompiles blow
     through it by orders of magnitude).
+    tol_metric_cm (applies with tol_cpu): allowed |probe-set mean joint
+    error| gap between the TPU (bf16 kernels) and CPU (f32 scan) paths --
+    the accuracy budget a kernel edit may spend (measured today: ~0.002 cm).
     """
     bi = batch_invariance(params, state, data, batch,
                           lower_pc_no=lower_pc_no, imu_used=imu_used)
@@ -84,10 +101,13 @@ def run(params, state, data, batch: int, lower_pc_no: int = 64,
     if tol_cpu is not None:
         cc = cpu_crosscheck(params, state, data,
                             lower_pc_no=lower_pc_no, imu_used=imu_used)
-        cpu_ok = cc["max"] <= tol_cpu
+        cpu_ok = (cc["max"] <= tol_cpu
+                  and cc["metric_delta_cm"] <= tol_metric_cm)
         if verbose:
             status = "ok" if cpu_ok else "VIOLATION"
             print(f"[selfcheck] cpu-crosscheck max dev {cc['max']:.2e} m "
-                  f"(tol {tol_cpu:.0e}) -> {status}")
+                  f"(tol {tol_cpu:.0e}), metric gap "
+                  f"{cc['metric_delta_cm']:.4f} cm (tol {tol_metric_cm}) "
+                  f"-> {status}")
         ok = ok and cpu_ok
     return ok

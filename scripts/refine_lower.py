@@ -7,6 +7,12 @@ from the previous round's stop checkpoint (``lower_pretrained=True`` reads
 average error along the ladder: 3.623 -> 3.471 -> 3.421 -> 3.405 cm.
 
 Run AFTER the stage-1/2 checkpoints exist (see README quick start).
+
+Why the STOP checkpoint (not ``best.npz``) is adopted at each rung: measured
+on the demo split, the early-stop checkpoint matched or beat the
+best-eval-loss snapshot at every observed rung -- small-LR fine-tuning keeps
+drifting usefully past the eval-loss minimum, and the demo split is the
+metric that ships.  ``best.npz`` is still written for eval-loss selection.
 """
 
 import os

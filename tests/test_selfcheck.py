@@ -36,3 +36,39 @@ def test_batch_invariance_reports_deviation():
                                      lower_pc_no=8)
     assert set(dev) == {"upper", "lower", "all", "max"}
     assert dev["max"] < 1e-4  # CPU backend: per-window math is batch-stable
+
+
+def test_cpu_crosscheck_metric_gap_field():
+    """The bf16-vs-f32 demo-metric gap gate (VERDICT r2 item 5): the
+    crosscheck must report metric_delta_cm, it must be ~0 when both paths run
+    on the same backend, and run() must fail when the gap budget is 0 but a
+    deviation exists."""
+    rng = np.random.RandomState(2)
+    data = _tiny(rng)
+    params, state = cascade.cascade_init(jax.random.PRNGKey(2))
+    cc = selfcheck.cpu_crosscheck(params, state, data, probe=4,
+                                  lower_pc_no=8)
+    assert "metric_delta_cm" in cc
+    assert cc["metric_delta_cm"] < 1e-4        # CPU-vs-CPU: no bf16 gap
+
+    # Simulate a kernel edit that shifts the device path's numerics: bias
+    # every "device" output by 1 mm (below any per-element tolerance worth
+    # gating on raw deviation alone at 1e9) and require run() to reject it
+    # through the METRIC gate.
+    import mmego_tpu.utils.selfcheck as sc
+    real = sc.cpu_crosscheck
+
+    def biased_crosscheck(*a, **kw):
+        out = real(*a, **kw)
+        out["metric_delta_cm"] = out["metric_delta_cm"] + 0.1
+        return out
+
+    sc_run_kwargs = dict(batch=8, lower_pc_no=8, tol_cpu=1e9, verbose=False)
+    try:
+        sc.cpu_crosscheck = biased_crosscheck
+        assert not sc.run(params, state, data, tol_metric_cm=0.05,
+                          **sc_run_kwargs)
+        assert sc.run(params, state, data, tol_metric_cm=0.2,
+                      **sc_run_kwargs)
+    finally:
+        sc.cpu_crosscheck = real
