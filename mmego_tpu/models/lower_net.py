@@ -107,12 +107,19 @@ def lower_net_apply(params: dict, state: dict, upper_joints: jnp.ndarray,
     t_v = layers.linear_apply(params["to_v"], k_vec)
     attn = jax.nn.softmax(
         jnp.einsum("...nc,...mc->...nm", t_q, t_k) * scale, axis=-1)
-    t_x = jnp.einsum("...nm,...mc->...nc", attn, t_v)      # (B, L, 64, 64)
-
-    new_p = jnp.concatenate([p_vec, t_x], axis=-1)         # (B, L, 64, 128)
-    # Degenerate reference pooling: weights are exactly 1 -> plain sum.
-    a_vec = layers.attn_pool_apply(params["fusion_attn"], new_p,
-                                   axis=-2, normalized=False)
+    # The reference then materialises the per-point attended features,
+    # concatenates them onto p_vec, and "attention-pools" with weights that
+    # are EXACTLY 1 (softmax over a singleton axis, Lower_Net.py:89-90,
+    # 112-113) -- i.e. downstream consumes only the SUM over the 64 points.
+    # Summing before the V-contraction is algebraically identical
+    # (sum_n (attn @ v)[n] == (sum_n attn[n, :]) @ v) and skips ~1.6 GB of
+    # HBM churn at the demo batch: the (B,L,64,64) attended tensor and the
+    # (B,L,64,128) concat are never built.  params["fusion_attn"] stays in
+    # the pytree for checkpoint parity (its logits never affected output).
+    attn_col = jnp.sum(attn, axis=-2)                      # (B, L, 15)
+    tx_sum = jnp.einsum("...m,...mc->...c", attn_col, t_v)
+    p_sum = jnp.sum(p_vec, axis=-2)
+    a_vec = jnp.concatenate([p_sum, tx_sum], axis=-1)      # (B, L, 128)
     k_pool = jnp.mean(k_vec, axis=-2)                      # (B, L, 64)
 
     ak = jnp.concatenate([a_vec, k_pool], axis=-1)         # (B, L, 192)

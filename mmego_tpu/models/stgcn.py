@@ -85,8 +85,15 @@ def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
 
     y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train, axis=1)
     y = jax.nn.relu(y)
-    pad = TEMPORAL_KERNEL // 2
-    y = layers.conv2d_apply(p["tcn_conv"], y, padding=((pad, pad), (0, 0)))
+    from mmego_tpu.ops import pallas_ctl, temporal_conv
+    if not train and pallas_ctl.enabled("tcn"):
+        # banded-matmul lowering: one dense MXU matmul instead of a
+        # sub-tile (9,1) conv (ops/temporal_conv.py; measured faster on TPU
+        # at these shapes).  Training keeps the conv for grad/BN bit-parity.
+        y = temporal_conv.temporal_conv_matmul(p["tcn_conv"], y)
+    else:
+        pad = TEMPORAL_KERNEL // 2
+        y = layers.conv2d_apply(p["tcn_conv"], y, padding=((pad, pad), (0, 0)))
     y, bn2 = layers.bn_apply(p["tcn_bn2"], s["tcn_bn2"], y, train, axis=1)
     # reference st_gcn dropout is 0 in this configuration (GCN.py:313-318)
 

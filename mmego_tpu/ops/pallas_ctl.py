@@ -35,7 +35,7 @@ import os
 _OVERRIDE: contextvars.ContextVar[tuple] = contextvars.ContextVar(
     "mmego_pallas_override", default=())
 
-_OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False}
+_OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False, "tcn": False}
 
 
 def enabled(op: str = "lstm") -> bool:

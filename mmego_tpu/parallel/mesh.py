@@ -10,7 +10,9 @@ without API changes, but nothing in these model sizes warrants using it.
 
 Multi-host note: on a multi-host slice, call ``jax.distributed.initialize()``
 before ``make_mesh`` and feed per-host batch shards; the mesh spans all
-devices automatically.
+devices automatically.  This path executes for real (two OS processes, a
+localhost coordinator, verified cross-process collectives) in
+``tests/test_multihost.py``.
 """
 
 from __future__ import annotations

@@ -133,6 +133,20 @@ def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields,
                    jnp.ones((len(idx),), jnp.float32))
 
 
+def _EVAL_RNG():
+    """Eval-batch composition is FIXED across epochs (fresh RandomState with
+    a constant seed).  The reference shuffles its test loader each epoch
+    (Train_IMU.py:76), so per-epoch eval loss carries batch-composition
+    noise (the mean-of-per-batch-means depends on which windows share the
+    ragged last batch); here that noise was deterministic in the epoch index
+    and therefore IDENTICAL across runs, which made EarlyStopping fire at
+    the same epoch for every fine-tuning rung regardless of the model
+    (observed: five consecutive ladder runs all stopping at epoch 73).
+    Pinning the composition removes the noise term entirely: eval loss moves
+    only when the model does, so patience counts real non-improvement."""
+    return np.random.RandomState(9973)
+
+
 def _data_mesh():
     """Data-parallel mesh across all local devices (None when single-device:
     the common one-chip case needs no sharding machinery).  MMEGO_DP=off
@@ -298,7 +312,8 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
             params, opt_state, acc_tr = train_step(
                 params, opt_state, acc_tr, imu, key, r_gt, w)
         acc_ev = jnp.zeros((2,), jnp.float32)
-        for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size, rng, fields):
+        for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size,
+                                                  _EVAL_RNG(), fields):
             acc_ev = eval_step(params, acc_ev, imu, key, r_gt, w)
         # Exactly two host fetches per epoch (train + eval accumulators);
         # each fetch also forces completion of its dispatch chain.
@@ -435,7 +450,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
                 w, sub)
         acc_ev = jnp.zeros((2 + 15 + 1,), jnp.float32)
         for (cloud, key, imu, bones), w in _epoch_batches(
-                test, cfg.batch_size, rng, fields):
+                test, cfg.batch_size, _EVAL_RNG(), fields):
             acc_ev = eval_step(params, state, acc_ev, imu_params, cloud,
                                key, imu, bones, w)
         ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch
@@ -567,7 +582,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
                 w, sub)
         acc_ev = jnp.zeros((2 + 8 + 1,), jnp.float32)
         for (cloud, key, imu, bones), w in _epoch_batches(
-                test, cfg.batch_size, rng, fields):
+                test, cfg.batch_size, _EVAL_RNG(), fields):
             acc_ev = eval_step(params, state, acc_ev, frozen, cloud, key,
                                imu, bones, w)
         ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch

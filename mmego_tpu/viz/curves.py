@@ -47,15 +47,29 @@ def draw_curve(values: Sequence[float], name: str, cfg: Config,
 
 
 def draw_joint_bar(errors_cm: Sequence[float], cfg: Config) -> str:
-    """Per-joint localization error bars (Utils.py:393-404)."""
-    plt.figure()
-    plt.xlabel("Joint Index", fontsize=15)
-    plt.ylabel("Average Localization Error (cm)", fontsize=15)
-    plt.bar(range(len(errors_cm)), errors_cm)
-    plt.xticks(range(len(errors_cm)))
+    """Per-joint localization error bars (Utils.py:393-404).
+
+    When the reference's joint-index legend image is available
+    (``Resource/Img/Skeleton_index.png``), it is composited beside the bars
+    as in the demo variant (``Utils_demo.py:502-529``); otherwise the bars
+    ship alone (headless artifact, never a blocking ``plt.show``)."""
+    index_img = os.path.join(os.path.dirname(cfg.data_root),
+                             "Img", "Skeleton_index.png")
+    if os.path.exists(index_img):
+        fig, (ax, ax_img) = plt.subplots(
+            1, 2, figsize=(12, 5), gridspec_kw={"width_ratios": [2, 1]})
+        ax_img.imshow(plt.imread(index_img))
+        ax_img.axis("off")
+        ax_img.set_title("Joint index")
+    else:
+        fig, ax = plt.subplots()
+    ax.set_xlabel("Joint Index", fontsize=15)
+    ax.set_ylabel("Average Localization Error (cm)", fontsize=15)
+    ax.bar(range(len(errors_cm)), errors_cm)
+    ax.set_xticks(range(len(errors_cm)))
     out = os.path.join(_plot_dir(cfg), "Eval_joint_accuracy.png")
-    plt.savefig(out)
-    plt.close()
+    fig.savefig(out)
+    plt.close(fig)
     return out
 
 
