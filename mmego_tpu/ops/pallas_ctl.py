@@ -13,8 +13,9 @@ or call ``jax.clear_caches()`` between settings.
 Resolution order:
   1. an active ``override(...)`` context (tests force-enable with interpret
      mode; the CPU cross-check force-disables),
-  2. the ``MMEGO_PALLAS`` env var ("1"/"0" -- applies to every op),
-  3. per-op default.  ``lstm`` (ops/pallas_lstm.fused_stack) is ON for a real
+  2. the per-op ``MMEGO_PALLAS_<OP>`` env var ("1"/"0" -- A/B a single op),
+  3. the ``MMEGO_PALLAS`` env var ("1"/"0" -- applies to every op),
+  4. per-op default.  ``lstm`` (ops/pallas_lstm.fused_stack) is ON for a real
      TPU backend: measured 1.56x over the XLA scan on the dominant stage.
      ``attn``/``gcn`` are OFF: their ops are bandwidth-trivial at this
      model's shapes and XLA's fusion already runs them at speed of light;
@@ -47,6 +48,9 @@ def enabled(op: str = "lstm") -> bool:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
         on_tpu = False
+    env_op = os.environ.get(f"MMEGO_PALLAS_{op.upper()}")
+    if env_op is not None:            # per-op A/B switch, e.g. MMEGO_PALLAS_TCN
+        return env_op == "1" and on_tpu
     env = os.environ.get("MMEGO_PALLAS")
     if env is not None:
         return env == "1" and on_tpu
