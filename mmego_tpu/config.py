@@ -119,11 +119,13 @@ class Config:
     # unseeded (Dataset_sample.py:215-224); we pin it for reproducibility.
     padding_seed: int = 0
 
-    # Checkpoint paths.  Defaults are this framework's own trained/fine-tuned
-    # weights under artifacts/ (the upstream repo ships no IMU checkpoint at
-    # all -- SURVEY.md §0 -- and its Upper/Lower weights pair with that lost
-    # IMU net).  infer.load_cascade_params falls back to the reference .pth
-    # files when an artifacts checkpoint is absent.
+    # Checkpoint paths.  Defaults are this framework's own FROM-SCRATCH
+    # trained weights under artifacts/ -- zero imported reference parameters
+    # (the upstream repo ships no IMU checkpoint at all, SURVEY.md §0, and
+    # its Upper/Lower weights pair with that lost IMU net).  The
+    # reference-seeded stack (torch-imported Upper/Lower, fine-tuned) lives
+    # in artifacts/reference_seeded/; infer.load_cascade_params falls back
+    # to the reference .pth files when an artifacts checkpoint is absent.
     model_imu_path: str = os.path.join(_REPO_ROOT, "artifacts", "imu_net.ckpt.npz")
     model_upper_path: str = os.path.join(_REPO_ROOT, "artifacts", "upper_net.ckpt.npz")
     model_lower_path: str = os.path.join(_REPO_ROOT, "artifacts", "lower_net.ckpt.npz")

