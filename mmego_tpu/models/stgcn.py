@@ -87,9 +87,12 @@ def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
     y = jax.nn.relu(y)
     from mmego_tpu.ops import pallas_ctl, temporal_conv
     if not train and pallas_ctl.enabled("tcn"):
-        # banded-matmul lowering: one dense MXU matmul instead of a
-        # sub-tile (9,1) conv (ops/temporal_conv.py; measured faster on TPU
-        # at these shapes).  Training keeps the conv for grad/BN bit-parity.
+        # Banded-matmul lowering: one dense MXU matmul instead of a
+        # sub-tile (9,1) conv (ops/temporal_conv.py).  Measured at the demo
+        # shapes the conv lowering is already faster (11.4 vs 12.9 ms for
+        # the whole lower stage, docs/PERFORMANCE.md) -- the band's 20/9
+        # FLOP overhead outweighs its tiling advantage -- so the default is
+        # OFF (MMEGO_PALLAS_TCN=1 opts in for T >> k regimes).
         y = temporal_conv.temporal_conv_matmul(p["tcn_conv"], y)
     else:
         pad = TEMPORAL_KERNEL // 2

@@ -11,8 +11,13 @@ exactly a banded linear operator on the flattened (C, T) axis:
 
 i.e. ONE dense (N*V, C*T) @ (C*T, O*T) matmul -- M and K/N all MXU-aligned
 at the model's shapes (N*V = 12,525; C*T up to 2,560).  The band wastes
-T/k = 20/9 = 2.2x the conv's FLOPs but runs at dense-matmul efficiency,
-which is the winning trade here (measured: see docs/PERFORMANCE.md).
+T/k = 20/9 = 2.2x the conv's FLOPs in exchange for dense-matmul tiling.
+
+MEASURED (docs/PERFORMANCE.md): at T=20/k=9 the trade LOSES -- XLA's conv
+lowering runs the whole lower stage in 11.4 ms vs 12.9 ms with this path,
+so the 'tcn' switch defaults OFF.  The formulation wins only when T >> k
+amortises the band overhead; it ships parity- and gradient-tested
+(tests/test_temporal_conv.py) as the documented alternative lowering.
 
 ``banded_weights`` is differentiable (gather + mask), so the formulation is
 valid in training too; the trainers keep the conv lowering for bit-parity

@@ -79,14 +79,19 @@ def cpu_crosscheck(params, state, data, probe: int = 8,
 
 
 def run(params, state, data, batch: int, lower_pc_no: int = 64,
-        imu_used: bool = True, tol_batch: float = 5e-3,
+        imu_used: bool = True, tol_batch: float = 1e-2,
         tol_cpu: Optional[float] = None,
         tol_metric_cm: float = 0.05, verbose: bool = True) -> bool:
     """Full self-check; returns True when the backend passes.
 
-    tol_batch: allowed batch-invariance violation in metres (5 mm default --
-    genuine low-precision noise stays well under this; miscompiles blow
-    through it by orders of magnitude).
+    tol_batch: allowed batch-invariance violation in metres.  Measured
+    decomposition (2026-08-17, round-3 weights): scan path 1.5 mm (XLA
+    retiles the conv/matmul reductions across batch sizes), fused bf16 LSTM
+    kernel path 5.8 mm (block-boundary rounding through the 20-step
+    recurrence; grows with weight sharpness), observed miscompiles >0.9 m.
+    1 cm sits ~1.7x above today's legal noise and ~100x below the failure
+    signature; absolute accuracy is independently bounded by the CPU
+    cross-check + metric-gap gates below.
     tol_metric_cm (applies with tol_cpu): allowed |probe-set mean joint
     error| gap between the TPU (bf16 kernels) and CPU (f32 scan) paths --
     the accuracy budget a kernel edit may spend (measured today: ~0.002 cm).
