@@ -43,17 +43,18 @@ def test_banded_weights_differentiable():
     np.testing.assert_allclose(gm, gc, rtol=1e-4, atol=1e-4)
 
 
-def test_stgcn_block_switch_parity():
-    """The eval path with the 'tcn' switch on must match the conv path
-    (override(True) also routes the gcn kernel -> interpret mode on CPU)."""
-    from jax.experimental.pallas import tpu as pltpu
+def test_stgcn_block_switch_parity(monkeypatch):
+    """The eval path with ONLY the 'tcn' switch on must match the conv path
+    (per-op patch: a blanket override(True) would also route the gcn Pallas
+    kernel, forcing slow interpret mode on CPU for an unrelated op)."""
     from mmego_tpu.models import stgcn
     from mmego_tpu.ops import pallas_ctl
+    monkeypatch.setattr(pallas_ctl, "enabled", lambda op="lstm": op == "tcn")
     params, state = stgcn.stgcn_init(jax.random.PRNGKey(3))
     joints = jax.random.normal(jax.random.PRNGKey(4), (3, 20, 15, 3),
                                jnp.float32)
+    alt, _ = stgcn.stgcn_apply(params, state, joints, train=False)
+    monkeypatch.setattr(pallas_ctl, "enabled", lambda op="lstm": False)
     base, _ = stgcn.stgcn_apply(params, state, joints, train=False)
-    with pltpu.force_tpu_interpret_mode(), pallas_ctl.override(True):
-        alt, _ = stgcn.stgcn_apply(params, state, joints, train=False)
     np.testing.assert_allclose(np.asarray(alt), np.asarray(base),
                                rtol=2e-5, atol=2e-5)
