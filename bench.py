@@ -48,15 +48,22 @@ def _load_params(cfg):
 def _selfcheck(params, state, data) -> bool:
     # backend numerics audit first: the cascade is batch-invariant by
     # construction, so any deviation is accelerator miscompilation -- fail
-    # loudly instead of publishing corrupted numbers.
-    # tol_cpu: cross-backend agreement with the CPU ground truth.  bf16 MXU
-    # recurrence noise measures ~1.9 cm worst-case per joint
-    # (nn/lstm.py:30-36); miscompiles observed on this backend exceed 0.9 m.
-    # 2.5 cm pins today's margin (a regression past it means a kernel edit
-    # ate real accuracy, not noise); the 0.05 cm metric gap gate inside
-    # selfcheck.run guards the demo-set MEAN the same way.
+    # loudly instead of publishing corrupted numbers.  Three gates:
+    #  * batch invariance (1 cm): same-backend miscompile detector.
+    #  * kernel-vs-scan (1.5 cm + shared 0.05 cm metric gap): the budget a
+    #    Pallas kernel edit may spend, measured against the scan path on the
+    #    SAME backend so ambient backend noise cancels (measured 9.1e-3 m /
+    #    0.0009 cm on round-3 weights).
+    #  * CPU cross-check (0.1 m + 0.05 cm metric gap): cross-backend
+    #    miscompile detector anchored to the f32 ground truth the unit tests
+    #    use.  Its legal max-joint deviation is weight-sharpness-dependent
+    #    chaotic amplification (3.6e-2 m on round-3 weights, UNCHANGED with
+    #    kernels off at highest precision -- see selfcheck.run docstring),
+    #    so only the mean-metric gap is held tight; 0.1 m sits ~3x above
+    #    legal noise and ~9x below the observed 0.9 m miscompile signature.
     from mmego_tpu.utils import selfcheck
-    return selfcheck.run(params, state, data, batch=835, tol_cpu=0.025)
+    return selfcheck.run(params, state, data, batch=835, tol_cpu=0.1,
+                         tol_kernel=0.015)
 
 
 def train_bench() -> dict:

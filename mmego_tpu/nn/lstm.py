@@ -28,10 +28,13 @@ import jax
 import jax.numpy as jnp
 
 # Matmul precision for the recurrence.  Standard bf16 MXU passes by default:
-# measured end-to-end against CPU ground truth, bf16 recurrence noise stays
-# under 2 cm worst-case per joint and does not move the demo-set mean
-# (3.6231 cm bf16 vs 3.6252 cm true-f32) while running ~2x faster -- and the
-# backend selfcheck (utils/selfcheck.py) guards the numbers.  Override with
+# the kernel-vs-scan deviation attributable to bf16 storage/weights is
+# 9.1e-3 m worst-case per joint and 0.0009 cm on the probe-set mean
+# (selfcheck.kernel_crosscheck, round-3 weights) at ~2x the speed.  The
+# TPU-vs-CPU deviation is larger (3.6e-2 m) but is NOT a precision artifact:
+# it is unchanged under precision=highest with kernels off -- chaotic
+# amplification of ambient cross-backend differences; the selfcheck gates
+# the demo-set mean instead.  Override with
 # MMEGO_LSTM_PRECISION={default,float32,highest} when accuracy-auditing.
 _PRECISION = os.environ.get("MMEGO_LSTM_PRECISION", "default")
 if _PRECISION == "default":

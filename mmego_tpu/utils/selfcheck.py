@@ -78,10 +78,65 @@ def cpu_crosscheck(params, state, data, probe: int = 8,
     return dev
 
 
+def kernel_crosscheck(params, state, data, probe: int = 8,
+                      lower_pc_no: int = 64,
+                      imu_used: bool = True) -> Optional[Dict]:
+    """Max deviation of the Pallas-kernel path from the lax.scan path on the
+    SAME backend, same probe windows.
+
+    This isolates exactly what a kernel edit can change: ambient backend
+    noise (matmul reduction order, XLA's bf16 operand rounding at default
+    precision) is common to both traces and cancels, so a regression here is
+    attributable to ops/pallas_*.py, not to weight sharpness or the backend.
+    (The CPU cross-check can NOT make that attribution: measured on the
+    round-3 chain-5 weights, its 3.6e-2 m max deviation persists unchanged
+    with kernels off and MMEGO_LSTM_PRECISION=highest -- it is chaotic
+    amplification of cross-backend f32/bf16 ambient differences through the
+    20-step recurrences, and grows as training sharpens the weights.)
+
+    Measured (round-3 chain-5 weights): max 6-9e-3 m across jit bindings
+    (lower stage dominates; upper ~2e-3), probe-metric delta <=0.001 cm.
+
+    Returns None (skipped) when the default backend is not a TPU -- the
+    Mosaic kernels only lower there; interpret-mode parity is covered by
+    tests/test_pallas_lstm.py.
+    """
+    from mmego_tpu.models import cascade
+    from mmego_tpu.ops import pallas_ctl
+
+    if jax.default_backend() != "tpu":
+        return None
+    sub = data.take(slice(0, probe))
+    args = (jnp.asarray(sub.cloud), jnp.asarray(sub.imu),
+            jnp.asarray(sub.bones))
+    outs = []
+    for on in (True, False):
+        # Fresh lambda per setting: the pallas_ctl switch is trace-time and
+        # not a jit cache key, and jax's jaxpr cache is keyed on the wrapped
+        # callable -- reusing one callable would silently reuse one trace.
+        fn = jax.jit(lambda p, s, c, i, b: cascade.cascade_apply(
+            p, s, c, i, b, lower_pc_no, imu_used))
+        with pallas_ctl.override(on):
+            outs.append({k: np.asarray(v)
+                         for k, v in fn(params, state, *args).items()})
+    kern, scan = outs
+    dev = {k: float(np.abs(kern[k] - scan[k]).max())
+           for k in ("upper", "lower", "all")}
+    dev["max"] = max(dev.values())
+    gt = np.asarray(sub.key)
+    mean_cm = lambda pred: float(
+        np.sqrt(np.sum((np.asarray(pred, np.float64) - gt) ** 2,
+                       axis=-1)).mean() * 100.0)
+    dev["metric_delta_cm"] = abs(mean_cm(kern["all"]) - mean_cm(scan["all"]))
+    return dev
+
+
 def run(params, state, data, batch: int, lower_pc_no: int = 64,
         imu_used: bool = True, tol_batch: float = 1e-2,
         tol_cpu: Optional[float] = None,
-        tol_metric_cm: float = 0.05, verbose: bool = True) -> bool:
+        tol_metric_cm: float = 0.05,
+        tol_kernel: Optional[float] = None,
+        verbose: bool = True) -> bool:
     """Full self-check; returns True when the backend passes.
 
     tol_batch: allowed batch-invariance violation in metres.  Measured
@@ -92,9 +147,19 @@ def run(params, state, data, batch: int, lower_pc_no: int = 64,
     1 cm sits ~1.7x above today's legal noise and ~100x below the failure
     signature; absolute accuracy is independently bounded by the CPU
     cross-check + metric-gap gates below.
+    tol_cpu: allowed TPU-vs-CPU max per-joint deviation in metres.  This is
+    a MISCOMPILE detector, not a kernel-accuracy gate: the legal deviation
+    is ambient cross-backend noise amplified by the recurrences (weight-
+    sharpness dependent; 1.9e-2 m on round-2 weights, 3.6e-2 m on round-3
+    chain-5 weights, unchanged with kernels off at highest precision), while
+    observed miscompiles exceed 0.9 m.  Semantic accuracy is gated by
+    tol_metric_cm; kernel-edit regressions by tol_kernel.
     tol_metric_cm (applies with tol_cpu): allowed |probe-set mean joint
-    error| gap between the TPU (bf16 kernels) and CPU (f32 scan) paths --
-    the accuracy budget a kernel edit may spend (measured today: ~0.002 cm).
+    error| gap between the TPU and CPU paths (measured: 0.033 cm).
+    tol_kernel: allowed kernel-vs-scan max deviation in metres on the same
+    backend (the budget a Pallas kernel edit may spend; measured 9.1e-3 m).
+    The kernel metric gap shares tol_metric_cm (measured: 0.0009 cm).
+    Skipped silently off-TPU.
     """
     bi = batch_invariance(params, state, data, batch,
                           lower_pc_no=lower_pc_no, imu_used=imu_used)
@@ -103,6 +168,21 @@ def run(params, state, data, batch: int, lower_pc_no: int = 64,
         status = "ok" if ok else "VIOLATION"
         print(f"[selfcheck] batch-invariance max dev {bi['max']:.2e} m "
               f"(tol {tol_batch:.0e}) -> {status}")
+    if tol_kernel is not None:
+        kc = kernel_crosscheck(params, state, data,
+                               lower_pc_no=lower_pc_no, imu_used=imu_used)
+        if kc is not None:
+            kern_ok = (kc["max"] <= tol_kernel
+                       and kc["metric_delta_cm"] <= tol_metric_cm)
+            if verbose:
+                status = "ok" if kern_ok else "VIOLATION"
+                print(f"[selfcheck] kernel-vs-scan max dev {kc['max']:.2e} m "
+                      f"(tol {tol_kernel:.0e}), metric gap "
+                      f"{kc['metric_delta_cm']:.4f} cm (tol {tol_metric_cm}) "
+                      f"-> {status}")
+            ok = ok and kern_ok
+        elif verbose:
+            print("[selfcheck] kernel-vs-scan skipped (backend is not tpu)")
     if tol_cpu is not None:
         cc = cpu_crosscheck(params, state, data,
                             lower_pc_no=lower_pc_no, imu_used=imu_used)

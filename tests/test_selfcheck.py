@@ -72,3 +72,36 @@ def test_cpu_crosscheck_metric_gap_field():
                       **sc_run_kwargs)
     finally:
         sc.cpu_crosscheck = real
+
+
+def test_kernel_crosscheck_gate():
+    """kernel_crosscheck isolates kernel-edit regressions: it is skipped
+    (None) off-TPU, and run() must fail when an injected kernel deviation
+    exceeds tol_kernel while everything else passes."""
+    rng = np.random.RandomState(3)
+    data = _tiny(rng)
+    params, state = cascade.cascade_init(jax.random.PRNGKey(3))
+
+    assert jax.default_backend() != "tpu"       # test env pins CPU
+    assert selfcheck.kernel_crosscheck(params, state, data,
+                                       lower_pc_no=8) is None
+    # Off-TPU the gate must not block a passing run (skip, not fail).
+    assert selfcheck.run(params, state, data, batch=8, lower_pc_no=8,
+                         tol_kernel=1e-9, verbose=False)
+
+    import mmego_tpu.utils.selfcheck as sc
+    real = sc.kernel_crosscheck
+    try:
+        sc.kernel_crosscheck = lambda *a, **kw: {
+            "upper": 0.02, "lower": 0.0, "all": 0.02, "max": 0.02,
+            "metric_delta_cm": 0.0}
+        common = dict(batch=8, lower_pc_no=8, verbose=False)
+        assert not sc.run(params, state, data, tol_kernel=0.015, **common)
+        assert sc.run(params, state, data, tol_kernel=0.05, **common)
+        # the metric gap budget is shared with the CPU gate
+        sc.kernel_crosscheck = lambda *a, **kw: {
+            "upper": 0.0, "lower": 0.0, "all": 0.0, "max": 0.0,
+            "metric_delta_cm": 0.1}
+        assert not sc.run(params, state, data, tol_kernel=0.015, **common)
+    finally:
+        sc.kernel_crosscheck = real
