@@ -18,6 +18,7 @@ Reference quirks reproduced for checkpoint parity:
 
 from __future__ import annotations
 
+import math
 from typing import Tuple
 
 import jax
@@ -25,7 +26,8 @@ from functools import partial
 import jax.numpy as jnp
 
 from mmego_tpu.nn import layers, lstm
-from mmego_tpu.ops import rotation, transforms, kinematics, pointcloud
+from mmego_tpu.ops import rotation, transforms, kinematics, pointcloud, \
+    pallas_kernels
 from mmego_tpu.models import stgcn
 
 NUM_JOINTS = 8
@@ -84,7 +86,7 @@ def lower_net_apply(params: dict, state: dict, upper_joints: jnp.ndarray,
        new_state).
     """
     b, l, n, _ = cloud.shape
-    scale = 1.0 / jnp.sqrt(jnp.asarray(HIDDEN, cloud.dtype))
+    scale = 1.0 / math.sqrt(HIDDEN)   # static: baked into the trace
 
     x = transforms.to_head(cloud, r, t, imu_used)          # second transform
     lower_x = pointcloud.select_top_x(x, lower_pc_no)      # (B, L, 64, 6)
@@ -105,9 +107,7 @@ def lower_net_apply(params: dict, state: dict, upper_joints: jnp.ndarray,
     t_q = layers.linear_apply(params["to_q"], p_vec)
     t_k = layers.linear_apply(params["to_k"], k_vec)
     t_v = layers.linear_apply(params["to_v"], k_vec)
-    attn = jax.nn.softmax(
-        jnp.einsum("...nc,...mc->...nm", t_q, t_k) * scale, axis=-1)
-    # The reference then materialises the per-point attended features,
+    # The reference materialises the per-point attended features,
     # concatenates them onto p_vec, and "attention-pools" with weights that
     # are EXACTLY 1 (softmax over a singleton axis, Lower_Net.py:89-90,
     # 112-113) -- i.e. downstream consumes only the SUM over the 64 points.
@@ -116,8 +116,12 @@ def lower_net_apply(params: dict, state: dict, upper_joints: jnp.ndarray,
     # HBM churn at the demo batch: the (B,L,64,64) attended tensor and the
     # (B,L,64,128) concat are never built.  params["fusion_attn"] stays in
     # the pytree for checkpoint parity (its logits never affected output).
-    attn_col = jnp.sum(attn, axis=-2)                      # (B, L, 15)
-    tx_sum = jnp.einsum("...m,...mc->...c", attn_col, t_v)
+    # cross_attn_colsum fuses softmax + column-sum + V-contraction; the
+    # Pallas path blocks windows into MXU-shaped matmuls (pallas_kernels.py).
+    h_c = t_q.shape[-1]
+    tx_sum = pallas_kernels.cross_attn_colsum(
+        t_q.reshape(b * l, -1, h_c), t_k.reshape(b * l, -1, h_c),
+        t_v.reshape(b * l, -1, h_c), float(scale)).reshape(b, l, h_c)
     p_sum = jnp.sum(p_vec, axis=-2)
     a_vec = jnp.concatenate([p_sum, tx_sum], axis=-1)      # (B, L, 128)
     k_pool = jnp.mean(k_vec, axis=-2)                      # (B, L, 64)

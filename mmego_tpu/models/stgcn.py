@@ -34,6 +34,21 @@ TEMPORAL_KERNEL = 9
 CHANNELS = (3, 32, 64, 128)
 
 
+def _storage_dtype():
+    """Eval-mode activation/weight storage dtype for the block stack.
+
+    Read per trace (not at import) so tests can flip it.  Default f32:
+    bf16 storage was measured to shift lower-joint positions by up to
+    1.7 cm vs the f32 path on the parity fixtures
+    (tests/test_model_parity.py::test_lower_net_bf16_storage_close) --
+    too coarse to ship against a ~2 cm headline metric.
+    MMEGO_GCN_STORAGE=bfloat16 opts in for bandwidth experiments.
+    """
+    import os
+    name = os.environ.get("MMEGO_GCN_STORAGE", "float32")
+    return jnp.bfloat16 if name == "bfloat16" else jnp.float32
+
+
 def stgcn_init(rng, hidden_dim: int = 64, strategy: str = "distance") -> Tuple[dict, dict]:
     a = jnp.asarray(build_adjacency(strategy))
     k = a.shape[0]
@@ -68,36 +83,53 @@ def stgcn_init(rng, hidden_dim: int = 64, strategy: str = "distance") -> Tuple[d
     return params, state
 
 
+def _conv1x1_fl(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """Feature-last 1x1 conv: x (..., C_in) with torch (O, I, 1, 1) weights."""
+    return x @ p["w"][:, :, 0, 0].T + p["b"]
+
+
 def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
                  train: bool) -> Tuple[jnp.ndarray, dict]:
-    """One st_gcn block.  x: (N, C, T, V) -> (N, C_out, T, V)."""
+    """One st_gcn block, FEATURE-LAST: x (N, T, V, C) -> (N, T, V, C_out).
+
+    Layout note: the reference (and round-2 build) runs NCHW with W = V = 15
+    as the minor axis -- 15 of 128 lanes used, so every elementwise/BN/conv
+    pass wastes ~88% of the VPU and pads HBM tiles.  Keeping C last puts the
+    32..128-wide channel axis on the lanes; the 1x1 convs become plain
+    matmuls and the (9,1) temporal conv an NHWC conv.  Math is identical
+    (weights stay in torch layout, transposed at trace time).
+    """
     k = a.shape[0]
-    res = layers.conv2d_apply(p["res_conv"], x)
-    res, res_bn = layers.bn_apply(p["res_bn"], s["res_bn"], res, train, axis=1)
+    res = _conv1x1_fl(p["res_conv"], x)
+    res, res_bn = layers.bn_apply(p["res_bn"], s["res_bn"], res, train)
 
-    y = layers.conv2d_apply(p["gcn_conv"], x)           # (N, K*C, T, V)
-    n, kc, t, v = y.shape
-    y = y.reshape(n, k, kc // k, t, v)
-    # jnp.einsum by default; fused Pallas kernel when MMEGO_PALLAS=1.  The
-    # kernel defines no VJP, so training always takes the jnp path.
-    from mmego_tpu.ops import pallas_kernels
-    y = pallas_kernels.gcn_contract(y, a, use_pallas=False if train else None)
+    y = _conv1x1_fl(p["gcn_conv"], x)                   # (N, T, V, K*C)
+    n, t, v, kc = y.shape
+    y = y.reshape(n, t, v, k, kc // k)
+    from mmego_tpu.ops import pallas_kernels, pallas_ctl
+    if not train and pallas_ctl.enabled("gcn"):
+        # the hand-written kernel speaks the reference NKCTV layout
+        y = pallas_kernels.gcn_contract(
+            y.transpose(0, 3, 4, 1, 2), a).transpose(0, 2, 3, 1)
+    else:
+        y = jnp.einsum("ntvkc,kvw->ntwc", y, a)
 
-    y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train, axis=1)
+    y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train)
     y = jax.nn.relu(y)
-    from mmego_tpu.ops import pallas_ctl, temporal_conv
+    from mmego_tpu.ops import temporal_conv
     if not train and pallas_ctl.enabled("tcn"):
-        # Banded-matmul lowering: one dense MXU matmul instead of a
-        # sub-tile (9,1) conv (ops/temporal_conv.py).  Measured at the demo
-        # shapes the conv lowering is already faster (11.4 vs 12.9 ms for
-        # the whole lower stage, docs/PERFORMANCE.md) -- the band's 20/9
-        # FLOP overhead outweighs its tiling advantage -- so the default is
-        # OFF (MMEGO_PALLAS_TCN=1 opts in for T >> k regimes).
-        y = temporal_conv.temporal_conv_matmul(p["tcn_conv"], y)
+        # Banded-matmul lowering (ops/temporal_conv.py); default OFF -- the
+        # NHWC conv lowering is faster at T=20 (docs/PERFORMANCE.md).
+        y = temporal_conv.temporal_conv_matmul(
+            p["tcn_conv"], y.transpose(0, 3, 1, 2)).transpose(0, 2, 3, 1)
     else:
         pad = TEMPORAL_KERNEL // 2
-        y = layers.conv2d_apply(p["tcn_conv"], y, padding=((pad, pad), (0, 0)))
-    y, bn2 = layers.bn_apply(p["tcn_bn2"], s["tcn_bn2"], y, train, axis=1)
+        y = jax.lax.conv_general_dilated(
+            y, p["tcn_conv"]["w"].transpose(2, 3, 1, 0),   # OIHW -> HWIO
+            window_strides=(1, 1), padding=((pad, pad), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + p["tcn_conv"]["b"]
+    y, bn2 = layers.bn_apply(p["tcn_bn2"], s["tcn_bn2"], y, train)
     # reference st_gcn dropout is 0 in this configuration (GCN.py:313-318)
 
     new_s = {"tcn_bn1": bn1, "tcn_bn2": bn2, "res_bn": res_bn}
@@ -115,11 +147,33 @@ def stgcn_apply(params: dict, state: dict, joints: jnp.ndarray,
        new_state).
     """
     b, t, v, c = joints.shape
+    orig_state = state
     # data_bn over joint-major channels: (B, T, V*C) feature-last.
     x = joints.reshape(b, t, v * c)
     x, dbn = layers.bn_apply(params["data_bn"], state["data_bn"], x, train)
-    # to NCHW = (B, C, T, V)
-    x = x.reshape(b, t, v, c).transpose(0, 3, 1, 2)
+    x = x.reshape(b, t, v, c)                           # stay feature-last
+
+    if not train and _storage_dtype() == jnp.bfloat16:
+        # bf16 storage through the blocks: the stage is HBM-bound (its
+        # intermediates are ~128 MB each at C=128 and the demo batch) and
+        # MXU matmuls round operands to bf16 anyway; casting weights/stats
+        # once at trace time halves the streaming traffic.  f32 is kept for
+        # training (grad accumulation) and restored on the output.
+        # MMEGO_GCN_STORAGE=float32 opts out (parity audits; the torch
+        # parity test pins the f32 path, the end-to-end accuracy gates in
+        # utils/selfcheck.py cover the default).
+        # jnp.asarray matters: a NUMPY bfloat16 leaf (torch-imported weights
+        # are numpy) re-promotes to f32 when mixed with jnp bf16 arrays,
+        # silently undoing the cast (and mixing dtypes at the conv).
+        cast = lambda tree: jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+        params = {**cast({k: params[k] for k in
+                          ("blocks", "edge_importance", "fcn")}),
+                  "A": cast(params["A"]), "data_bn": params["data_bn"]}
+        state = {**cast({"blocks": state["blocks"]}),
+                 "data_bn": state["data_bn"]}
+        x = x.astype(jnp.bfloat16)
 
     new_blocks = []
     # A is a fixed buffer in the reference (register_buffer, GCN.py:306-307):
@@ -131,8 +185,13 @@ def stgcn_apply(params: dict, state: dict, joints: jnp.ndarray,
         x, ns = _block_apply(p_blk, s_blk, x, a_fixed * imp, train)
         new_blocks.append(ns)
 
-    x = layers.conv2d_apply(params["fcn"], x)           # (B, H, T, V)
-    hidden = x.shape[1]
-    # Reference scrambled view (GCN.py:353): raw row-major reshape.
-    feats = x.reshape(b, t, v, hidden)
-    return feats, {"data_bn": dbn, "blocks": new_blocks}
+    x = _conv1x1_fl(params["fcn"], x)                   # (B, T, V, H)
+    hidden = x.shape[-1]
+    # Reference scrambled view (GCN.py:353): raw row-major reshape of the
+    # NCHW tensor -- reproduce by one transpose back to (B, H, T, V) first.
+    feats = x.transpose(0, 3, 1, 2).reshape(b, t, v, hidden)
+    # eval mode never updates BN state; return the caller's (f32) originals
+    # rather than the bf16 trace copies
+    new_state = (orig_state if not train
+                 else {"data_bn": dbn, "blocks": new_blocks})
+    return feats.astype(jnp.float32), new_state

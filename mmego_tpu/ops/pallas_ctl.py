@@ -36,7 +36,8 @@ import os
 _OVERRIDE: contextvars.ContextVar[tuple] = contextvars.ContextVar(
     "mmego_pallas_override", default=())
 
-_OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False, "tcn": False}
+_OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False, "tcn": False,
+                  "xattn": False}
 
 
 def enabled(op: str = "lstm") -> bool:

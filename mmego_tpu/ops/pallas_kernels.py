@@ -154,3 +154,131 @@ def attn_pool(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nb, 1, cp), x.dtype),
     )(xp, wp, bp, nr)
     return out[:, 0, :c].reshape(*batch_shape, c)
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention column sum (LowerNet fusion, reference Lower_Net.py:104-113)
+# ---------------------------------------------------------------------------
+#
+# The fusion module consumes ONLY the column sum of the per-window softmax
+# attention contracted with V (models/lower_net.py:104-122).  Per window the
+# math is 16,700 independent (64,64)@(64,15) matmuls -- far below MXU tile
+# size, and XLA runs the batched form at <1% MXU utilisation (~3 ms in situ).
+# Blocking G windows into ONE (G*64, C)@(C, G*Mp) masked matmul recovers MXU
+# shape at a G-fold FLOP waste; the (G*64, G*Mp) score tile lives and dies in
+# VMEM (the same rewrite expressed in XLA materialises it to HBM and measures
+# SLOWER than the batched einsum -- 5.5-30 ms for G=4..100).
+#
+# MEASURED IN SITU (v5e, demo batch, 2026-08-17): lower stage 16.5 ms with
+# this kernel (G=16) vs 15.2 ms with the XLA batched einsum -- the G-fold
+# score waste (~0.5 GFLOP extra at G=16) plus per-step grid overhead loses
+# to XLA's bandwidth-bound einsum at these shapes, so the default is OFF
+# (pallas_ctl._OP_DEFAULT_ON['xattn']).  The kernel is kept parity- and
+# grad-tested for regimes with wider windows (N, M >~ 128) where the MXU
+# shape recovery pays.
+
+G_WINDOWS = int(__import__("os").environ.get("MMEGO_XATTN_G", "16"))
+
+
+def _xattn_kernel(q_ref, k_ref, v_ref, o_ref, *, n: int, m: int, mp: int,
+                  g: int, scale: float):
+    """One block of g windows.
+
+    q_ref: (1, g*n, C) bf16; k_ref: (1, g*mp, C) bf16 (zero rows m..mp);
+    v_ref: (1, g*mp, Cv) f32; o_ref: (1, g, Cv).
+    """
+    # contract C with C (transposed-rhs matmul, MXU-native; avoids an XLA
+    # transpose of k on the host side of the call)
+    s = jax.lax.dot_general(q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) // n
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (rows == cols // mp) & (cols % mp < m)
+    s = jnp.where(valid, s, -jnp.inf)
+    e = jnp.exp(s - jnp.max(s, axis=1, keepdims=True))
+    # normalise via reciprocal-multiply: one divide per ROW instead of a
+    # full-matrix divide (VPU divides are multi-cycle)
+    w = e * (1.0 / jnp.sum(e, axis=1, keepdims=True))  # (g*n, g*mp)
+    colw = jnp.sum(w, axis=0)                          # (g*mp,)
+    wv = colw[:, None] * v_ref[0]                      # (g*mp, Cv) f32
+    o_ref[0] = jnp.sum(wv.reshape(g, mp, v_ref.shape[-1]), axis=1)
+
+
+def _xattn_fallback(q, k, v, scale):
+    attn = jax.nn.softmax(jnp.einsum("bnc,bmc->bnm", q, k) * scale, axis=-1)
+    col = jnp.sum(attn, axis=-2)
+    return jnp.einsum("bm,bmc->bc", col, v)
+
+
+def _xattn_impl(q, k, v, scale):
+    b, n, c = q.shape
+    m, cv = k.shape[-2], v.shape[-1]
+    g = G_WINDOWS
+    mp = _round_up(m, 8)
+    bp = _round_up(b, g)
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0))
+        # Padded windows are harmless: all-zero q/k give a uniform softmax
+        # over the mp-masked columns and v=0 makes the output row zero.
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    nb = bp // g
+    qb = q.astype(jnp.bfloat16).reshape(nb, g * n, c)
+    kb = jnp.pad(k.astype(jnp.bfloat16),
+                 ((0, 0), (0, mp - m), (0, 0))).reshape(nb, g * mp, c)
+    vb = jnp.pad(v, ((0, 0), (0, mp - m), (0, 0))).reshape(nb, g * mp, cv)
+
+    out = pl.pallas_call(
+        functools.partial(_xattn_kernel, n=n, m=m, mp=mp, g=g,
+                          scale=float(scale)),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, g * n, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * mp, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * mp, cv), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, cv), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, g, cv), v.dtype),
+    )(qb, kb, vb)
+    return out.reshape(bp, cv)[:b]
+
+
+# scale is static (nondiff_argnums): it reaches the kernel as a Python float
+# baked into the trace, matching the model's compile-time 1/sqrt(C).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _xattn_pallas(q, k, v, scale):
+    return _xattn_impl(q, k, v, scale)
+
+
+def _xattn_fwd(q, k, v, scale):
+    return _xattn_impl(q, k, v, scale), (q, k, v)
+
+
+def _xattn_bwd(scale, res, gout):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q, k, v: _xattn_fallback(q, k, v, scale), q, k, v)
+    return vjp(gout.astype(q.dtype))
+
+
+_xattn_pallas.defvjp(_xattn_fwd, _xattn_bwd)
+
+
+def cross_attn_colsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                      scale: float,
+                      use_pallas: bool | None = None) -> jnp.ndarray:
+    """(sum over queries of softmax(q @ k^T * scale)) @ v, per window.
+
+    Args:
+      q: (B, N, C) queries; k: (B, M, C) keys; v: (B, M, Cv) values.
+    Returns:
+      (B, Cv): the attention column-sum contracted with v -- everything the
+      LowerNet fusion consumes of its cross-attention.
+    """
+    if use_pallas is None:
+        use_pallas = _use_pallas_default("xattn")
+    if not use_pallas:
+        return _xattn_fallback(q, k, v, scale)
+    return _xattn_pallas(q, k, v, scale)

@@ -59,6 +59,26 @@ def test_lower_net_parity(fx):
                                rtol=1e-3, atol=1e-4)
 
 
+@needs_ckpts
+def test_lower_net_bf16_storage_bound(fx, monkeypatch):
+    """Pin the OPT-IN bf16 ST-GCN storage path's deviation from goldens.
+
+    The measured max joint shift is ~1.7 cm -- the reason bf16 storage is
+    NOT the default (models/stgcn.py::_storage_dtype).  This test keeps the
+    opt-in path working and documents its error envelope; if a future
+    kernel change brings the bound under ~2 mm, flipping the default
+    becomes worth re-evaluating.
+    """
+    monkeypatch.setenv("MMEGO_GCN_STORAGE", "bfloat16")
+    params, state = torch_import.import_lower(_REF_LOWER)
+    joints, q, _ = lower_net.lower_net_apply(
+        params, state, jnp.asarray(fx["upper_l"]),
+        jnp.asarray(fx["cloud_after_upper"]), jnp.asarray(fx["bones"]),
+        jnp.asarray(fx["r"]), jnp.asarray(fx["t"]))
+    assert float(np.max(np.abs(np.asarray(joints) - fx["lower_l"]))) < 2.5e-2
+    assert float(np.max(np.abs(np.asarray(q) - fx["lower_q"]))) < 0.12
+
+
 def test_imu_net_parity():
     data = dict(np.load(os.path.join(FIXDIR, "imu_parity.npz")))
     sd = {k[len("sd__"):]: v for k, v in data.items() if k.startswith("sd__")}

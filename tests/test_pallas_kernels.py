@@ -45,3 +45,40 @@ def test_attn_pool_batch_dims():
     assert got.shape == (2, 3, 8)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("b,n,m,c", [(33, 64, 15, 64), (7, 8, 5, 16)])
+def test_cross_attn_colsum_matches_fallback(b, n, m, c):
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    k = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    v = jnp.asarray(rng.randn(b, m, c).astype(np.float32))
+    scale = c ** -0.5
+    want = pk.cross_attn_colsum(q, k, v, scale, use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = pk.cross_attn_colsum(q, k, v, scale, use_pallas=True)
+    assert got.shape == (b, c)
+    # the kernel computes scores in bf16: operands round to ~3 decimal digits
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_cross_attn_colsum_grad_matches_fallback():
+    import jax
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.randn(5, 8, 16).astype(np.float32))
+    k = jnp.asarray(rng.randn(5, 6, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(5, 6, 16).astype(np.float32))
+    scale = 0.25
+    f_ref = lambda q, k, v: jnp.sum(
+        pk.cross_attn_colsum(q, k, v, scale, use_pallas=False) ** 2)
+    f_ker = lambda q, k, v: jnp.sum(
+        pk.cross_attn_colsum(q, k, v, scale, use_pallas=True) ** 2)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_ker = jax.grad(f_ker, argnums=(0, 1, 2))(q, k, v)
+    # kernel forward rounds scores to bf16; the cotangent (2*out) inherits
+    # that wobble, so the comparison is bf16-grade, not f32-grade
+    for a, bb in zip(g_ker, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=6e-2, atol=6e-2)
