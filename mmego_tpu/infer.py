@@ -269,9 +269,13 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         acc = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
         for start in range(0, padded, batch):
             sl = slice(start, start + batch)
+            # whole-set batches skip the slice: x[0:n] of an n-row device
+            # array still dispatches a full-size device copy (~480 MB of
+            # cloud, ~1.2 ms/pass measured in the cascade profile)
+            take = (lambda a: a) if batch == padded else (lambda a: a[sl])
             acc = _cascade_metrics_acc_jit(
-                params, state, cloud_d[sl], imu_d[sl], bones_d[sl],
-                key_d[sl], w_d[sl], cfg.lower_pc_no, cfg.imu_used, acc)
+                params, state, take(cloud_d), take(imu_d), take(bones_d),
+                take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc)
         return metrics_mod.unpack_metric_sums(np.asarray(acc))
 
     run_all()                                   # warmup/compile dispatch

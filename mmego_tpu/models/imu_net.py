@@ -56,8 +56,6 @@ def imu_net_apply(params: dict, imu: jnp.ndarray, dropout: float = 0.0,
       (R (B, L, 3, 3), t (B, L, 3)).
     """
     b, l, n, f = imu.shape
-    x = jax.nn.relu(layers.linear_apply(params["fc1"], imu))
-    x = x.reshape(b * l, n, -1)
 
     if train and rng is not None:
         rng, r_fast, r_slow = jax.random.split(rng, 3)
@@ -71,17 +69,33 @@ def imu_net_apply(params: dict, imu: jnp.ndarray, dropout: float = 0.0,
         # f32 cast that the batch-major interface would materialise (~2.7 GB
         # of HBM churn at demo shapes).  Same math: logits over the concat
         # split into per-half matmuls; softmax over time in f32.
+        #
+        # The fc1 projection itself runs TIME-MAJOR on a pre-padded batch:
+        # transposing/padding the 15-feature INPUT costs ~20 MB of copies
+        # instead of the ~700 MB transpose+pad+cast of fc1's 512-wide
+        # output that fused_stack_tm would re-materialise.  Padded rows
+        # carry relu(b) garbage; each recurrence row is independent and the
+        # pool below slices [: b * l].
         from mmego_tpu.ops import pallas_lstm
-        y_f, y_b = pallas_lstm.fused_stack_tm(params["rnn_fast"], x)
-        hidden = y_f.shape[-1]
+        imu_tm = jnp.swapaxes(imu.reshape(b * l, n, f), 0, 1)  # (N, BL, 15)
+        blk = pallas_lstm.preferred_block()
+        bl_p = -(-(b * l) // blk) * blk
+        if bl_p != b * l:
+            imu_tm = jnp.pad(imu_tm, ((0, 0), (0, bl_p - b * l), (0, 0)))
+        x_tm = jax.nn.relu(layers.linear_apply(params["fc1"], imu_tm)
+                           ).astype(jnp.bfloat16)
         aw, ab = params["attn"]["w"], params["attn"]["b"]
-        logits = (jnp.einsum("tbh,ho->tbo", y_f, aw[:hidden]) +
-                  jnp.einsum("tbh,ho->tbo", y_b, aw[hidden:]) + ab)  # (T,BP,1)
+        # logits ride the last layer's kernels (one (BB,H)@(H,1) dot per
+        # step on the fresh in-VMEM h) instead of a post-hoc read pass
+        y_f, y_b, logits = pallas_lstm.fused_stack_tm_attn(
+            params["rnn_fast"], x_tm, aw, ab)            # logits (T, BP, 1)
         wgt = jax.nn.softmax(logits, axis=0)
         pooled = jnp.concatenate(
             [jnp.sum(y_f * wgt, axis=0), jnp.sum(y_b * wgt, axis=0)],
             axis=-1)[: b * l].reshape(b, l, -1)          # (B, L, 2H) f32
     else:
+        x = jax.nn.relu(layers.linear_apply(params["fc1"], imu))
+        x = x.reshape(b * l, n, -1)
         fast, _ = lstm.lstm_apply(params["rnn_fast"], x, dropout, r_fast, train)
         w = jax.nn.softmax(layers.linear_apply(params["attn"], fast), axis=1)
         pooled = jnp.sum(fast * w, axis=1).reshape(b, l, -1)

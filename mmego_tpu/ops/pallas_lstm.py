@@ -48,6 +48,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK_B = 512
+# batches at or under this run as ONE whole-batch block (v2 kernel): VMEM
+# fits up to ~896 rows at the model's F<=1024/H=512 shapes, and fewer grid
+# steps beat pipelining when there are only ~20 of them per direction.
+SMALL_BATCH_ONE_BLOCK = 896
+# lane width of the in-kernel attention-logit scratch (T <= 128 steps)
+LOGIT_LANES = 128
 
 
 def _round_up(x: int, m: int) -> int:
@@ -225,7 +231,22 @@ def _fused_direction(p: dict, xs, reverse: bool, block_b: int) -> jnp.ndarray:
     )(*xs, *wi_parts, wh, b)
 
 
-def _fused_stack_tm_impl(params, x: jnp.ndarray, block_b: int = BLOCK_B):
+def _fused_stack_tm_impl(params, x: jnp.ndarray, block_b: int | None = None):
+    import os
+    # v3 (software-pipelined x-projection) by default: measured 45.5 ms vs
+    # v2's 48.0 ms on the demo fast stack (scripts/lstm_kernel_bench.py,
+    # block 448 the sweep optimum).  MMEGO_LSTM_PIPE=0 pins v2 for A/B.
+    pipe = os.environ.get("MMEGO_LSTM_PIPE", "1") == "1"
+    b = x.shape[0]
+    if _round_up(b, 8) <= SMALL_BATCH_ONE_BLOCK:
+        # Small batches (the slow stack's 835 windows): one whole-batch
+        # block in the v2 kernel -- 1/3 the grid steps; v3's f32 xg scratch
+        # would blow VMEM at this block size and pipelining has nothing to
+        # hide when the pipeline is this short.
+        pipe, block_b = False, _round_up(b, 8)
+    elif block_b is None:
+        block_b = 448 if pipe else BLOCK_B
+    direction = _fused_pipe_direction if pipe else _fused_direction
     b, t, f = x.shape
     block_b = min(block_b, _round_up(b, 8))
     bp = _round_up(b, block_b)
@@ -234,8 +255,8 @@ def _fused_stack_tm_impl(params, x: jnp.ndarray, block_b: int = BLOCK_B):
         x_tm = jnp.pad(x_tm, ((0, 0), (0, bp - b), (0, 0)))
     xs = [x_tm]
     for layer in params:
-        y_f = _fused_direction(layer["fwd"], xs, False, block_b)
-        y_b = _fused_direction(layer["bwd"], xs, True, block_b)
+        y_f = direction(layer["fwd"], xs, False, block_b)
+        y_b = direction(layer["bwd"], xs, True, block_b)
         xs = [y_f, y_b]
     return xs[0], xs[1]
 
@@ -327,3 +348,317 @@ def _fused_stack_bwd(res, g):
 
 
 fused_stack.defvjp(_fused_stack_fwd, _fused_stack_bwd)
+
+# ---------------------------------------------------------------------------
+# v3: software-pipelined direction (x-projection prefetched one step ahead)
+# ---------------------------------------------------------------------------
+#
+# Profile finding (2026-08-17, demo shapes): the v2 fused kernels reach only
+# ~48% of bf16 MXU peak.  Each grid step serialises
+#   [x-dots (MXU, ~11 us) -> h-dot (MXU, ~5 us) -> gate chain (VPU, ~12 us)]
+# and the VPU transcendentals idle the MXU.  v3 rotates the x-projection one
+# grid step ahead: step s consumes the projection computed at s-1 from a VMEM
+# scratch accumulator and computes the NEXT step's projection after the
+# recurrent dot -- independent of the gate chain, so Mosaic can overlap the
+# two.  Critical path per step drops to h-dot + max(x-dots, VPU).
+#
+# The grid runs T+1 steps per batch block: step 0 only primes the scratch
+# (x tile index map is min(s, T-1); the final step's fetch is a dead read),
+# and the output index map lags one step (max(s-1, 0); step 0's skipped
+# write is legal -- the same out block is revisited and fully written at
+# step 1 before the pipeline emits it).
+
+
+def _fused_pipe_kernel(*refs, n_in: int, hidden: int, steps: int,
+                       attn: bool = False):
+    xs = refs[:n_in]
+    wis = refs[n_in:2 * n_in]
+    if attn:
+        (wh_ref, b_ref, aw_ref, o_ref, l_out_ref,
+         xg_ref, h_ref, c_ref, l_ref) = refs[2 * n_in:]
+    else:
+        wh_ref, b_ref, o_ref, xg_ref, h_ref, c_ref = refs[2 * n_in:]
+    s = pl.program_id(1)
+
+    @pl.when(s == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+        if attn:
+            l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(s > 0)
+    def _():
+        gates = b_ref[:] + xg_ref[:] + jnp.dot(
+            h_ref[:].astype(jnp.bfloat16), wh_ref[:],
+            preferred_element_type=jnp.float32)
+        i = jax.nn.sigmoid(gates[:, :hidden])
+        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
+        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
+        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
+        c = f * c_ref[:] + i * g
+        h = o * jnp.tanh(c)
+        h_ref[:] = h
+        c_ref[:] = c
+        o_ref[0] = h.astype(o_ref.dtype)
+        if attn:
+            # this direction's share of the attention-pool logit: one extra
+            # (BB, H) @ (H, 1) dot per step, accumulated into a (BB, 128)
+            # scratch time-matrix (one-hot column select -- a lane-1 output
+            # stream per step measured SLOWER) and emitted once per block.
+            # Saves the post-hoc read pass over the stack output.
+            contrib = jnp.dot(h.astype(jnp.bfloat16), aw_ref[:],
+                              preferred_element_type=jnp.float32)  # (BB, 1)
+            col = (jax.lax.broadcasted_iota(jnp.int32, (1, LOGIT_LANES), 1)
+                   == s - 1).astype(jnp.float32)
+            l_ref[:] = l_ref[:] + contrib * col
+
+    if attn:
+        @pl.when(s == steps)
+        def _():
+            l_out_ref[0] = l_ref[:]
+
+    @pl.when(s < steps)
+    def _():
+        xg = jnp.dot(xs[0][0], wis[0][:], preferred_element_type=jnp.float32)
+        for x_ref, wi_ref in zip(xs[1:], wis[1:]):
+            xg = xg + jnp.dot(x_ref[0], wi_ref[:],
+                              preferred_element_type=jnp.float32)
+        xg_ref[:] = xg
+
+
+def _fused_pipe_direction(p: dict, xs, reverse: bool, block_b: int,
+                          attn_w: jnp.ndarray | None = None):
+    """v3 pipelined counterpart of _fused_direction (same contract).
+
+    With ``attn_w`` ((H, 1) f32): also returns this direction's per-step
+    attention logits (T, BP, 1) f32 computed in-kernel from the fresh h.
+    """
+    t, bp, _ = xs[0].shape
+    hidden = p["wh"].shape[0]
+    nb = bp // block_b
+
+    wi = p["wi"].astype(jnp.bfloat16)
+    wi_parts, off = [], 0
+    for x in xs:
+        wi_parts.append(wi[off:off + x.shape[2]])
+        off += x.shape[2]
+    wh = p["wh"].astype(jnp.bfloat16)
+    b = p["b"].astype(jnp.float32).reshape(1, 4 * hidden)
+
+    if reverse:
+        xix = lambda i, s: (t - 1 - jnp.minimum(s, t - 1), i, 0)
+        oix = lambda i, s: (t - 1 - jnp.maximum(s - 1, 0), i, 0)
+    else:
+        xix = lambda i, s: (jnp.minimum(s, t - 1), i, 0)
+        oix = lambda i, s: (jnp.maximum(s - 1, 0), i, 0)
+    resident = lambda i, s: (0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, block_b, x.shape[2]), xix, memory_space=pltpu.VMEM)
+        for x in xs
+    ] + [
+        pl.BlockSpec(w.shape, resident, memory_space=pltpu.VMEM)
+        for w in wi_parts
+    ] + [
+        pl.BlockSpec(wh.shape, resident, memory_space=pltpu.VMEM),
+        pl.BlockSpec(b.shape, resident, memory_space=pltpu.VMEM),
+    ]
+    operands = [*xs, *wi_parts, wh, b]
+    out_specs = pl.BlockSpec((1, block_b, hidden), oix,
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((t, bp, hidden), jnp.bfloat16)
+    scratch = [
+        pltpu.VMEM((block_b, 4 * hidden), jnp.float32),
+        pltpu.VMEM((block_b, hidden), jnp.float32),
+        pltpu.VMEM((block_b, hidden), jnp.float32),
+    ]
+    if attn_w is not None:
+        assert t <= LOGIT_LANES, "logit scratch holds at most 128 steps"
+        in_specs.append(pl.BlockSpec((hidden, 1), resident,
+                                     memory_space=pltpu.VMEM))
+        operands.append(attn_w.astype(jnp.bfloat16))
+        # per-block (BB, 128) logit time-matrix, emitted once per block
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, block_b, LOGIT_LANES),
+                                  lambda i, s: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((nb, block_b, LOGIT_LANES),
+                                          jnp.float32)]
+        scratch.append(pltpu.VMEM((block_b, LOGIT_LANES), jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_fused_pipe_kernel, n_in=len(xs), hidden=hidden,
+                          steps=t, attn=attn_w is not None),
+        grid=(nb, t + 1),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+    )(*operands)
+    if attn_w is None:
+        return out
+    y, lmat = out
+    # (nb, BB, 128) time-matrix -> (T, BP, 1) logits; ~10 MB of reshuffle.
+    # The forward direction fills column s-1 with step s's logit, i.e.
+    # column j = logit of output step j; the REVERSED direction's step s
+    # writes output t-1-(s-1), so column j = logit of output step t-1-j.
+    logits = jnp.swapaxes(lmat.reshape(bp, LOGIT_LANES)[:, :t], 0, 1)
+    if reverse:
+        logits = logits[::-1]
+    return y, logits[..., None]
+
+
+def _fused_stack_tm_pipe_impl(params, x: jnp.ndarray, block_b: int = 384):
+    """v3 stack: same contract as _fused_stack_tm_impl."""
+    b, t, f = x.shape
+    block_b = min(block_b, _round_up(b, 8))
+    bp = _round_up(b, block_b)
+    x_tm = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
+    if bp != b:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, bp - b), (0, 0)))
+    xs = [x_tm]
+    for layer in params:
+        y_f = _fused_pipe_direction(layer["fwd"], xs, False, block_b)
+        y_b = _fused_pipe_direction(layer["bwd"], xs, True, block_b)
+        xs = [y_f, y_b]
+    return xs[0], xs[1]
+
+
+def preferred_block() -> int:
+    """Batch block the stack entry points will use (env-dependent)."""
+    import os
+    return 448 if os.environ.get("MMEGO_LSTM_PIPE", "1") == "1" else BLOCK_B
+
+
+def _fused_stack_tm_pre_impl(params, x_tm: jnp.ndarray):
+    import os
+    pipe = os.environ.get("MMEGO_LSTM_PIPE", "1") == "1"
+    direction = _fused_pipe_direction if pipe else _fused_direction
+    block_b = preferred_block()
+    t, bp, f = x_tm.shape
+    if bp % block_b:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, _round_up(bp, block_b) - bp),
+                              (0, 0)))
+    xs = [x_tm.astype(jnp.bfloat16)]
+    for layer in params:
+        y_f = direction(layer["fwd"], xs, False, block_b)
+        y_b = direction(layer["bwd"], xs, True, block_b)
+        xs = [y_f, y_b]
+    return xs[0], xs[1]
+
+
+@jax.custom_vjp
+def fused_stack_tm_pre(params, x_tm: jnp.ndarray):
+    """Stack over an input that is ALREADY time-major (T, BP, F).
+
+    Callers that can produce their input in this layout (e.g. the IMU net's
+    fc1, whose 15-feature INPUT is cheap to transpose before the matmul)
+    skip the (B*, T, 4H-wide) transpose + pad + cast copies that
+    ``fused_stack_tm`` would materialise (~2 ms at demo shapes).  Rows
+    beyond the true batch may be arbitrary garbage: they stay confined to
+    their own recurrence rows and callers slice them off.
+
+    Returns (y_fwd, y_bwd), each (T, BP', H) bf16 with BP' = BP rounded up
+    to the batch block.
+    """
+    return _fused_stack_tm_pre_impl(params, x_tm)
+
+
+def _fused_stack_tm_pre_fwd(params, x_tm):
+    return _fused_stack_tm_pre_impl(params, x_tm), (params, x_tm)
+
+
+def _fused_stack_tm_pre_bwd(res, cts):
+    params, x_tm = res
+    g_f, g_b = cts
+    bp = x_tm.shape[1]
+
+    def ref(p, xt):
+        y_f, y_b = _scan_halves(p, jnp.swapaxes(xt, 0, 1).astype(jnp.float32))
+        return jnp.swapaxes(y_f, 0, 1), jnp.swapaxes(y_b, 0, 1)
+
+    _, vjp = jax.vjp(ref, params, x_tm)
+    return vjp((g_f[:, :bp].astype(jnp.float32),
+                g_b[:, :bp].astype(jnp.float32)))
+
+
+fused_stack_tm_pre.defvjp(_fused_stack_tm_pre_fwd, _fused_stack_tm_pre_bwd)
+
+
+def _fused_stack_tm_attn_impl(params, x_tm, aw, ab):
+    import os
+    pipe = os.environ.get("MMEGO_LSTM_PIPE", "1") == "1"
+    block_b = preferred_block()
+    t, bp, f = x_tm.shape
+    if bp % block_b:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, _round_up(bp, block_b) - bp),
+                              (0, 0)))
+    hidden = params[-1]["fwd"]["wh"].shape[0]
+    xs = [x_tm.astype(jnp.bfloat16)]
+    for li, layer in enumerate(params):
+        last = li == len(params) - 1
+        if last and pipe:
+            y_f, l_f = _fused_pipe_direction(layer["fwd"], xs, False, block_b,
+                                             attn_w=aw[:hidden])
+            y_b, l_b = _fused_pipe_direction(layer["bwd"], xs, True, block_b,
+                                             attn_w=aw[hidden:])
+            return y_f, y_b, l_f + l_b + ab
+        direction = _fused_pipe_direction if pipe else _fused_direction
+        y_f = direction(layer["fwd"], xs, False, block_b)
+        y_b = direction(layer["bwd"], xs, True, block_b)
+        xs = [y_f, y_b]
+    # non-pipe fallback: logits as post-hoc einsums over the halves
+    logits = (jnp.einsum("tbh,ho->tbo", y_f.astype(jnp.float32), aw[:hidden]) +
+              jnp.einsum("tbh,ho->tbo", y_b.astype(jnp.float32), aw[hidden:]) +
+              ab)
+    return y_f, y_b, logits
+
+
+@jax.custom_vjp
+def fused_stack_tm_attn(params, x_tm, aw, ab):
+    """Stack + in-kernel attention logits over a time-major input.
+
+    Same contract as ``fused_stack_tm_pre`` plus the attention-pool logits
+    ``y_concat @ aw + ab`` computed inside the last layer's kernels (the
+    logit dot rides each step's fresh h in VMEM; computing it post-hoc
+    costs a full HBM read pass over both direction halves).
+
+    Args:
+      aw: (2H, 1) f32 pool weights (fwd-half rows first, matching the
+          concat layout the batch-major interface would produce); ab: (1,).
+    Returns:
+      (y_fwd, y_bwd, logits): (T, BP', H) bf16 x2 and (T, BP', 1) f32.
+    """
+    return _fused_stack_tm_attn_impl(params, x_tm, aw, ab)
+
+
+def _fused_stack_tm_attn_fwd(params, x_tm, aw, ab):
+    return (_fused_stack_tm_attn_impl(params, x_tm, aw, ab),
+            (params, x_tm, aw, ab))
+
+
+def _fused_stack_tm_attn_bwd(res, cts):
+    params, x_tm, aw, ab = res
+    g_f, g_b, g_l = cts
+    hidden = params[-1]["fwd"]["wh"].shape[0]
+
+    def ref(p, xt, aw_, ab_):
+        y_f, y_b = _scan_halves(p, jnp.swapaxes(xt, 0, 1).astype(jnp.float32))
+        y_f = jnp.swapaxes(y_f, 0, 1)
+        y_b = jnp.swapaxes(y_b, 0, 1)
+        logits = (jnp.einsum("tbh,ho->tbo", y_f, aw_[:hidden]) +
+                  jnp.einsum("tbh,ho->tbo", y_b, aw_[hidden:]) + ab_)
+        return y_f, y_b, logits
+
+    _, vjp = jax.vjp(ref, params, x_tm, aw, ab)
+    bp = x_tm.shape[1]
+    return vjp((g_f[:, :bp].astype(jnp.float32),
+                g_b[:, :bp].astype(jnp.float32),
+                g_l[:, :bp].astype(jnp.float32)))
+
+
+fused_stack_tm_attn.defvjp(_fused_stack_tm_attn_fwd, _fused_stack_tm_attn_bwd)
