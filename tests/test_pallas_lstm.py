@@ -124,3 +124,29 @@ def test_imu_net_tm_pooling_grad_matches_scan_path():
     corr = np.corrcoef(np.asarray(flat_k), np.asarray(flat_s))[0, 1]
     assert corr > 0.999
     assert float(jnp.abs(flat_k).sum()) > 0
+
+
+def test_fused_stack_tm_attn_matches_posthoc_logits():
+    """In-kernel attention logits == post-hoc einsum over the halves (both
+    directions' scratch column orders; bf16-grade tolerance since the
+    kernel's aw rides the MXU in bf16)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.experimental.pallas import tpu as pltpu
+    from mmego_tpu.nn import lstm as lstm_mod
+    from mmego_tpu.ops import pallas_lstm as pll
+
+    params = lstm_mod.lstm_init(jax.random.PRNGKey(0), 24, 16, 2, True)
+    x_tm = jax.random.normal(jax.random.PRNGKey(1), (7, 40, 24), jnp.float32)
+    aw = jax.random.normal(jax.random.PRNGKey(2), (32, 1), jnp.float32)
+    ab = jnp.full((1,), 0.3, jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y_f, y_b = pll._fused_stack_tm_pre_impl(params, x_tm)
+        y_f2, y_b2, logits = pll._fused_stack_tm_attn_impl(params, x_tm, aw, ab)
+    np.testing.assert_array_equal(np.asarray(y_f2), np.asarray(y_f))
+    np.testing.assert_array_equal(np.asarray(y_b2), np.asarray(y_b))
+    ref = (jnp.einsum("tbh,ho->tbo", y_f.astype(jnp.float32), aw[:16]) +
+           jnp.einsum("tbh,ho->tbo", y_b.astype(jnp.float32), aw[16:]) + ab)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
