@@ -73,13 +73,12 @@ def imu_net_apply(params: dict, imu: jnp.ndarray, dropout: float = 0.0,
         # The fc1 projection itself runs TIME-MAJOR on a pre-padded batch:
         # transposing/padding the 15-feature INPUT costs ~20 MB of copies
         # instead of the ~700 MB transpose+pad+cast of fc1's 512-wide
-        # output that fused_stack_tm would re-materialise.  Padded rows
+        # output that a batch-major stack entry would re-materialise.  Padded rows
         # carry relu(b) garbage; each recurrence row is independent and the
         # pool below slices [: b * l].
         from mmego_tpu.ops import pallas_lstm
         imu_tm = jnp.swapaxes(imu.reshape(b * l, n, f), 0, 1)  # (N, BL, 15)
-        blk = pallas_lstm.preferred_block()
-        bl_p = -(-(b * l) // blk) * blk
+        bl_p = pallas_lstm._round_up(b * l, pallas_lstm.preferred_block())
         if bl_p != b * l:
             imu_tm = jnp.pad(imu_tm, ((0, 0), (0, bl_p - b * l), (0, 0)))
         x_tm = jax.nn.relu(layers.linear_apply(params["fc1"], imu_tm)

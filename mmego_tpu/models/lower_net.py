@@ -119,9 +119,13 @@ def lower_net_apply(params: dict, state: dict, upper_joints: jnp.ndarray,
     # cross_attn_colsum fuses softmax + column-sum + V-contraction; the
     # Pallas path blocks windows into MXU-shaped matmuls (pallas_kernels.py).
     h_c = t_q.shape[-1]
+    # training always takes the f32 fallback (use_pallas=False), matching
+    # the gcn/tcn/lstm gates: the kernel's bf16 scores would diverge the
+    # forward from its own scan-recompute VJP
     tx_sum = pallas_kernels.cross_attn_colsum(
         t_q.reshape(b * l, -1, h_c), t_k.reshape(b * l, -1, h_c),
-        t_v.reshape(b * l, -1, h_c), float(scale)).reshape(b, l, h_c)
+        t_v.reshape(b * l, -1, h_c), float(scale),
+        use_pallas=False if train else None).reshape(b, l, h_c)
     p_sum = jnp.sum(p_vec, axis=-2)
     a_vec = jnp.concatenate([p_sum, tx_sum], axis=-1)      # (B, L, 128)
     k_pool = jnp.mean(k_vec, axis=-2)                      # (B, L, 64)

@@ -40,7 +40,7 @@ def _storage_dtype():
     Read per trace (not at import) so tests can flip it.  Default f32:
     bf16 storage was measured to shift lower-joint positions by up to
     1.7 cm vs the f32 path on the parity fixtures
-    (tests/test_model_parity.py::test_lower_net_bf16_storage_close) --
+    (tests/test_model_parity.py::test_lower_net_bf16_storage_bound) --
     too coarse to ship against a ~2 cm headline metric.
     MMEGO_GCN_STORAGE=bfloat16 opts in for bandwidth experiments.
     """

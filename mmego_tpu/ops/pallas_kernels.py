@@ -177,7 +177,11 @@ def attn_pool(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 # grad-tested for regimes with wider windows (N, M >~ 128) where the MXU
 # shape recovery pays.
 
-G_WINDOWS = int(__import__("os").environ.get("MMEGO_XATTN_G", "16"))
+def _g_windows() -> int:
+    """Windows blocked per kernel invocation; read per trace (not at
+    import) so sweeps/tests can flip MMEGO_XATTN_G in-process."""
+    import os
+    return int(os.environ.get("MMEGO_XATTN_G", "16"))
 
 
 def _xattn_kernel(q_ref, k_ref, v_ref, o_ref, *, n: int, m: int, mp: int,
@@ -213,7 +217,7 @@ def _xattn_fallback(q, k, v, scale):
 def _xattn_impl(q, k, v, scale):
     b, n, c = q.shape
     m, cv = k.shape[-2], v.shape[-1]
-    g = G_WINDOWS
+    g = _g_windows()
     mp = _round_up(m, 8)
     bp = _round_up(b, g)
     if bp != b:

@@ -10,7 +10,7 @@ generations live here:
   than x, and it makes a full HBM round trip (write by the einsum, read by
   the kernel) per layer-direction.
 
-``fused_stack`` (v2 -- what ships)
+``fused_stack`` (v2)
   Runs the ENTIRE multi-layer bidirectional stack with the input projection
   fused INTO the recurrence kernel:
 
@@ -31,11 +31,22 @@ generations live here:
   * the reversed direction is expressed purely in the index maps
     (t -> T-1-t) -- no data flips (see nn/lstm.py for why flips are banned).
 
-Both are forward-only (no VJP): training keeps the lax.scan path.  Numerics:
-state is f32, gate accumulation is f32; only x/y storage and the weights are
-bf16.  The recurrence itself is batch-invariant (each output row of every
-matmul depends only on its own input row; K-reduction tiling is fixed by the
-block shapes), which the backend selfcheck verifies end-to-end.
+``_fused_pipe_kernel`` (v3 -- what ships; ``MMEGO_LSTM_PIPE=0`` pins v2)
+  v2 with the x-projection software-pipelined one grid step ahead through a
+  VMEM gate-accumulator scratch, so the MXU's x-dots for step t+1 overlap
+  the VPU gate chain of step t (45.5 vs 48.0 ms on the demo fast stack;
+  scripts/lstm_kernel_bench.py).  Optionally also emits the IMU
+  attention-pool logits per step from the in-VMEM h (``fused_stack_tm_attn``).
+  Small batches take one whole-batch v2 block instead -- see ``_plan``.
+
+The raw kernels are forward-only (no JVP/transpose rules); the public
+entry points are custom_vjp wrappers whose backward passes recompute with
+the lax.scan stack (training's eval-mode forwards differentiate through
+them).  Numerics: state is f32, gate accumulation is f32; only x/y storage
+and the weights are bf16.  The recurrence itself is batch-invariant (each
+output row of every matmul depends only on its own input row; K-reduction
+tiling is fixed by the block shapes), which the backend selfcheck verifies
+end-to-end.
 """
 
 from __future__ import annotations
@@ -231,34 +242,72 @@ def _fused_direction(p: dict, xs, reverse: bool, block_b: int) -> jnp.ndarray:
     )(*xs, *wi_parts, wh, b)
 
 
-def _fused_stack_tm_impl(params, x: jnp.ndarray, block_b: int | None = None):
+def _plan(rows: int, block_b: int | None = None):
+    """Kernel generation + batch block for a stack over ``rows`` batch rows.
+
+    v3 (software-pipelined x-projection) by default: measured 45.5 ms vs
+    v2's 48.0 ms on the demo fast stack (scripts/lstm_kernel_bench.py,
+    block 448 the sweep optimum).  MMEGO_LSTM_PIPE=0 pins v2 for A/B.
+    Small batches (the slow stack's 835 windows) instead run as ONE
+    whole-batch block in the v2 kernel: fewer grid steps beat pipelining at
+    20-step depth, and v3's f32 gate scratch would blow VMEM at that block
+    size.  An explicit ``block_b`` (tests, sweeps) overrides everything but
+    still selects v2 below the small-batch bound.
+    """
     import os
-    # v3 (software-pipelined x-projection) by default: measured 45.5 ms vs
-    # v2's 48.0 ms on the demo fast stack (scripts/lstm_kernel_bench.py,
-    # block 448 the sweep optimum).  MMEGO_LSTM_PIPE=0 pins v2 for A/B.
     pipe = os.environ.get("MMEGO_LSTM_PIPE", "1") == "1"
-    b = x.shape[0]
-    if _round_up(b, 8) <= SMALL_BATCH_ONE_BLOCK:
-        # Small batches (the slow stack's 835 windows): one whole-batch
-        # block in the v2 kernel -- 1/3 the grid steps; v3's f32 xg scratch
-        # would blow VMEM at this block size and pipelining has nothing to
-        # hide when the pipeline is this short.
-        pipe, block_b = False, _round_up(b, 8)
-    elif block_b is None:
+    if _round_up(rows, 8) <= SMALL_BATCH_ONE_BLOCK:
+        return False, min(block_b or 1 << 30, _round_up(rows, 8))
+    if block_b is None:
         block_b = 448 if pipe else BLOCK_B
+    return pipe, min(block_b, _round_up(rows, 8))
+
+
+def _pad_rows(x_tm: jnp.ndarray, block_b: int) -> jnp.ndarray:
+    t, bp, f = x_tm.shape
+    if bp % block_b:
+        x_tm = jnp.pad(x_tm, ((0, 0), (0, _round_up(bp, block_b) - bp),
+                              (0, 0)))
+    return x_tm
+
+
+def _run_stack(params, x_tm: jnp.ndarray, block_b: int, pipe: bool,
+               attn=None):
+    """Shared stack driver over a (T, BP, F) input, BP % block_b == 0.
+
+    attn: optional (aw (2H, 1) f32, ab (1,) f32) -- the last layer then also
+    returns the attention-pool logits (in-kernel on the pipe path, post-hoc
+    einsums on v2).
+    """
     direction = _fused_pipe_direction if pipe else _fused_direction
-    b, t, f = x.shape
-    block_b = min(block_b, _round_up(b, 8))
-    bp = _round_up(b, block_b)
-    x_tm = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)     # (T, B, F)
-    if bp != b:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, bp - b), (0, 0)))
-    xs = [x_tm]
-    for layer in params:
+    xs = [x_tm.astype(jnp.bfloat16)]
+    for li, layer in enumerate(params):
+        if attn is not None and pipe and li == len(params) - 1:
+            aw, ab = attn
+            hidden = layer["fwd"]["wh"].shape[0]
+            y_f, l_f = _fused_pipe_direction(layer["fwd"], xs, False,
+                                             block_b, attn_w=aw[:hidden])
+            y_b, l_b = _fused_pipe_direction(layer["bwd"], xs, True,
+                                             block_b, attn_w=aw[hidden:])
+            return y_f, y_b, l_f + l_b + ab
         y_f = direction(layer["fwd"], xs, False, block_b)
         y_b = direction(layer["bwd"], xs, True, block_b)
         xs = [y_f, y_b]
-    return xs[0], xs[1]
+    if attn is None:
+        return xs[0], xs[1]
+    aw, ab = attn
+    hidden = params[-1]["fwd"]["wh"].shape[0]
+    logits = (jnp.einsum("tbh,ho->tbo", xs[0].astype(jnp.float32),
+                         aw[:hidden]) +
+              jnp.einsum("tbh,ho->tbo", xs[1].astype(jnp.float32),
+                         aw[hidden:]) + ab)
+    return xs[0], xs[1], logits
+
+
+def _fused_stack_tm_impl(params, x: jnp.ndarray, block_b: int | None = None):
+    pipe, block_b = _plan(x.shape[0], block_b)
+    x_tm = _pad_rows(jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16), block_b)
+    return _run_stack(params, x_tm, block_b, pipe)
 
 
 def _scan_halves(params, x):
@@ -282,43 +331,6 @@ def _scan_halves(params, x):
 # therefore the scan path's (f32) gradients -- self-consistent, and within
 # bf16 storage noise of the kernel's forward.  (Forward-mode jvp of these
 # entry points is unsupported, as with any custom_vjp.)
-
-@jax.custom_vjp
-def fused_stack_tm(params, x: jnp.ndarray):
-    """Whole bidirectional stack; returns TIME-MAJOR per-direction halves.
-
-    Args:
-      params: nn.lstm layer list [{"fwd": {...}, "bwd": {...}}, ...].
-      x: (B, T, F) float input (torch batch_first layout).
-    Returns:
-      (y_fwd, y_bwd): each (T, BP, H) bf16 with BP = B padded to a block
-      multiple -- callers slicing batch rows must take [:, :B].  Keeping the
-      halves split and time-major lets callers (e.g. the IMU attention pool)
-      consume them without the transpose/concat copies.
-    """
-    return _fused_stack_tm_impl(params, x)
-
-
-def _fused_stack_tm_fwd(params, x):
-    return _fused_stack_tm_impl(params, x), (params, x)
-
-
-def _fused_stack_tm_bwd(res, cts):
-    params, x = res
-    g_f, g_b = cts
-    b = x.shape[0]
-
-    def ref(p, xx):
-        y_f, y_b = _scan_halves(p, xx)
-        return jnp.swapaxes(y_f, 0, 1), jnp.swapaxes(y_b, 0, 1)
-
-    _, vjp = jax.vjp(ref, params, x)
-    return vjp((g_f[:, :b].astype(jnp.float32),
-                g_b[:, :b].astype(jnp.float32)))
-
-
-fused_stack_tm.defvjp(_fused_stack_tm_fwd, _fused_stack_tm_bwd)
-
 
 def _fused_stack_impl(params, x):
     y_f, y_b = _fused_stack_tm_impl(params, x)
@@ -474,7 +486,9 @@ def _fused_pipe_direction(p: dict, xs, reverse: bool, block_b: int,
         pltpu.VMEM((block_b, hidden), jnp.float32),
     ]
     if attn_w is not None:
-        assert t <= LOGIT_LANES, "logit scratch holds at most 128 steps"
+        if t > LOGIT_LANES:   # not assert: -O would silently zero logits
+            raise ValueError(
+                f"in-kernel logit scratch holds {LOGIT_LANES} steps, got {t}")
         in_specs.append(pl.BlockSpec((hidden, 1), resident,
                                      memory_space=pltpu.VMEM))
         operands.append(attn_w.astype(jnp.bfloat16))
@@ -512,126 +526,53 @@ def _fused_pipe_direction(p: dict, xs, reverse: bool, block_b: int,
     return y, logits[..., None]
 
 
-def _fused_stack_tm_pipe_impl(params, x: jnp.ndarray, block_b: int = 384):
-    """v3 stack: same contract as _fused_stack_tm_impl."""
-    b, t, f = x.shape
-    block_b = min(block_b, _round_up(b, 8))
-    bp = _round_up(b, block_b)
-    x_tm = jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16)
-    if bp != b:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, bp - b), (0, 0)))
-    xs = [x_tm]
-    for layer in params:
-        y_f = _fused_pipe_direction(layer["fwd"], xs, False, block_b)
-        y_b = _fused_pipe_direction(layer["bwd"], xs, True, block_b)
-        xs = [y_f, y_b]
-    return xs[0], xs[1]
+def _fused_stack_tm_pipe_impl(params, x: jnp.ndarray, block_b: int = 448):
+    """v3 stack, pipe forced on: block-size sweeps and interpret tests."""
+    block_b = min(block_b, _round_up(x.shape[0], 8))
+    x_tm = _pad_rows(jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16), block_b)
+    return _run_stack(params, x_tm, block_b, pipe=True)
 
 
 def preferred_block() -> int:
-    """Batch block the stack entry points will use (env-dependent)."""
+    """Batch block the stack entry points will use for LARGE batches
+    (env-dependent); callers pre-padding their input (imu_net's fc1) align
+    to this so the kernel entry's _pad_rows is a no-op."""
     import os
     return 448 if os.environ.get("MMEGO_LSTM_PIPE", "1") == "1" else BLOCK_B
 
 
 def _fused_stack_tm_pre_impl(params, x_tm: jnp.ndarray):
-    import os
-    pipe = os.environ.get("MMEGO_LSTM_PIPE", "1") == "1"
-    direction = _fused_pipe_direction if pipe else _fused_direction
-    block_b = preferred_block()
-    t, bp, f = x_tm.shape
-    if bp % block_b:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, _round_up(bp, block_b) - bp),
-                              (0, 0)))
-    xs = [x_tm.astype(jnp.bfloat16)]
-    for layer in params:
-        y_f = direction(layer["fwd"], xs, False, block_b)
-        y_b = direction(layer["bwd"], xs, True, block_b)
-        xs = [y_f, y_b]
-    return xs[0], xs[1]
-
-
-@jax.custom_vjp
-def fused_stack_tm_pre(params, x_tm: jnp.ndarray):
-    """Stack over an input that is ALREADY time-major (T, BP, F).
-
-    Callers that can produce their input in this layout (e.g. the IMU net's
-    fc1, whose 15-feature INPUT is cheap to transpose before the matmul)
-    skip the (B*, T, 4H-wide) transpose + pad + cast copies that
-    ``fused_stack_tm`` would materialise (~2 ms at demo shapes).  Rows
-    beyond the true batch may be arbitrary garbage: they stay confined to
-    their own recurrence rows and callers slice them off.
-
-    Returns (y_fwd, y_bwd), each (T, BP', H) bf16 with BP' = BP rounded up
-    to the batch block.
-    """
-    return _fused_stack_tm_pre_impl(params, x_tm)
-
-
-def _fused_stack_tm_pre_fwd(params, x_tm):
-    return _fused_stack_tm_pre_impl(params, x_tm), (params, x_tm)
-
-
-def _fused_stack_tm_pre_bwd(res, cts):
-    params, x_tm = res
-    g_f, g_b = cts
-    bp = x_tm.shape[1]
-
-    def ref(p, xt):
-        y_f, y_b = _scan_halves(p, jnp.swapaxes(xt, 0, 1).astype(jnp.float32))
-        return jnp.swapaxes(y_f, 0, 1), jnp.swapaxes(y_b, 0, 1)
-
-    _, vjp = jax.vjp(ref, params, x_tm)
-    return vjp((g_f[:, :bp].astype(jnp.float32),
-                g_b[:, :bp].astype(jnp.float32)))
-
-
-fused_stack_tm_pre.defvjp(_fused_stack_tm_pre_fwd, _fused_stack_tm_pre_bwd)
+    """Stack over an ALREADY time-major (T, BP, F) input (no attn)."""
+    pipe, block_b = _plan(x_tm.shape[1])
+    return _run_stack(params, _pad_rows(x_tm, block_b), block_b, pipe)
 
 
 def _fused_stack_tm_attn_impl(params, x_tm, aw, ab):
-    import os
-    pipe = os.environ.get("MMEGO_LSTM_PIPE", "1") == "1"
-    block_b = preferred_block()
-    t, bp, f = x_tm.shape
-    if bp % block_b:
-        x_tm = jnp.pad(x_tm, ((0, 0), (0, _round_up(bp, block_b) - bp),
-                              (0, 0)))
-    hidden = params[-1]["fwd"]["wh"].shape[0]
-    xs = [x_tm.astype(jnp.bfloat16)]
-    for li, layer in enumerate(params):
-        last = li == len(params) - 1
-        if last and pipe:
-            y_f, l_f = _fused_pipe_direction(layer["fwd"], xs, False, block_b,
-                                             attn_w=aw[:hidden])
-            y_b, l_b = _fused_pipe_direction(layer["bwd"], xs, True, block_b,
-                                             attn_w=aw[hidden:])
-            return y_f, y_b, l_f + l_b + ab
-        direction = _fused_pipe_direction if pipe else _fused_direction
-        y_f = direction(layer["fwd"], xs, False, block_b)
-        y_b = direction(layer["bwd"], xs, True, block_b)
-        xs = [y_f, y_b]
-    # non-pipe fallback: logits as post-hoc einsums over the halves
-    logits = (jnp.einsum("tbh,ho->tbo", y_f.astype(jnp.float32), aw[:hidden]) +
-              jnp.einsum("tbh,ho->tbo", y_b.astype(jnp.float32), aw[hidden:]) +
-              ab)
-    return y_f, y_b, logits
+    pipe, block_b = _plan(x_tm.shape[1])
+    return _run_stack(params, _pad_rows(x_tm, block_b), block_b, pipe,
+                      attn=(aw, ab))
 
 
 @jax.custom_vjp
 def fused_stack_tm_attn(params, x_tm, aw, ab):
-    """Stack + in-kernel attention logits over a time-major input.
+    """Stack + in-kernel attention logits over a TIME-MAJOR input.
 
-    Same contract as ``fused_stack_tm_pre`` plus the attention-pool logits
-    ``y_concat @ aw + ab`` computed inside the last layer's kernels (the
-    logit dot rides each step's fresh h in VMEM; computing it post-hoc
-    costs a full HBM read pass over both direction halves).
+    Callers that can produce their input in this layout (the IMU net's fc1,
+    whose 15-feature INPUT is cheap to transpose before the matmul) skip
+    the (B*, T, 4H-wide) transpose + pad + cast copies the batch-major
+    interface would materialise (~2 ms at demo shapes).  Rows beyond the
+    true batch may be arbitrary garbage: they stay confined to their own
+    recurrence rows and callers slice them off.  The attention-pool logits
+    ``y_concat @ aw + ab`` are computed inside the last layer's kernels on
+    the pipe path (the logit dot rides each step's fresh h in VMEM;
+    computing it post-hoc costs a full HBM read pass over both halves).
 
     Args:
       aw: (2H, 1) f32 pool weights (fwd-half rows first, matching the
           concat layout the batch-major interface would produce); ab: (1,).
     Returns:
-      (y_fwd, y_bwd, logits): (T, BP', H) bf16 x2 and (T, BP', 1) f32.
+      (y_fwd, y_bwd, logits): (T, BP', H) bf16 x2 and (T, BP', 1) f32,
+      BP' = input rows padded to the batch block.
     """
     return _fused_stack_tm_attn_impl(params, x_tm, aw, ab)
 

@@ -10,6 +10,7 @@ standalone so kernel edits are measured before they touch the model.
 Run on the TPU:  python scripts/lstm_kernel_bench.py
 """
 
+import os
 import time
 
 import jax
@@ -24,7 +25,7 @@ B, T, F, H, LAYERS = 16700, 20, 512, 512, 2
 
 def _sync(o):
     for leaf in jax.tree.leaves(o):
-        np.asarray(jax.device_get(leaf if not hasattr(leaf, "addressable_shards") else leaf))
+        np.asarray(leaf)   # fetching forces completion on tunneled backends
 
 
 def time_fn(fn, *args, repeats=10):
@@ -52,7 +53,6 @@ def main():
         print(f"{name}: {dt*1e3:7.2f} ms   {flops/dt/1e12:6.1f} TFLOP/s "
               f"({flops/dt/1e12/197*100:4.1f}% of v5e bf16 peak)", flush=True)
 
-    import os
     os.environ["MMEGO_LSTM_PIPE"] = "0"   # read at trace time
     stack = jax.jit(lambda p, x: pallas_lstm.fused_stack(p, x))
     report("v2 fused_stack", time_fn(stack, params, x))
@@ -69,8 +69,9 @@ def main():
     # slow-stack shapes: B=835, F=1024 (pooled 2H), 2 layers
     sparams = lstm_mod.lstm_init(jax.random.PRNGKey(2), 1024, H, LAYERS, True)
     sx = jax.random.normal(jax.random.PRNGKey(3), (835, T, 1024), jnp.float32)
-    import os
-    for label, small in (("slow 3x384 v3", 0), ("slow 1-block v2", 896)):
+    # small=0 routes through _plan's large-batch default (two 448-row v3
+    # blocks at B=835); small=896 takes the shipped one-block v2 path
+    for label, small in (("slow 2x448 v3", 0), ("slow 1-block v2", 896)):
         pallas_lstm.SMALL_BATCH_ONE_BLOCK = small
         fn = jax.jit(lambda p, x: pallas_lstm.fused_stack(p, x))
         t0 = time_fn(fn, sparams, sx)

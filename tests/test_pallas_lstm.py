@@ -100,7 +100,7 @@ def test_fused_stack_differentiable_via_scan_vjp():
 
 
 def test_imu_net_tm_pooling_grad_matches_scan_path():
-    """imu_net's kernel path (fused_stack_tm + time-major pooling) must be
+    """imu_net's kernel path (fused_stack_tm_attn + time-major pooling) must be
     differentiable and agree with the scan path's gradients -- this is the
     exact trace stage-1 training hits on TPU (train=False, dropout 0)."""
     from mmego_tpu.models import imu_net
