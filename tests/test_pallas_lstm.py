@@ -150,3 +150,17 @@ def test_fused_stack_tm_attn_matches_posthoc_logits():
            jnp.einsum("tbh,ho->tbo", y_b.astype(jnp.float32), aw[16:]) + ab)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_plan_routing(monkeypatch):
+    """_plan: small batches -> one whole-batch v2 block; large -> pipe 448;
+    explicit block_b overrides size but not the small-batch v2 downgrade."""
+    from mmego_tpu.ops import pallas_lstm as pll
+
+    monkeypatch.delenv("MMEGO_LSTM_PIPE", raising=False)
+    assert pll._plan(835) == (False, 840)         # slow stack: one v2 block
+    assert pll._plan(16700) == (True, 448)        # fast stack: pipe
+    assert pll._plan(16700, 384) == (True, 384)   # explicit sweep override
+    assert pll._plan(40, 8) == (False, 8)         # tiny test shapes stay v2
+    monkeypatch.setenv("MMEGO_LSTM_PIPE", "0")
+    assert pll._plan(16700) == (False, pll.BLOCK_B)
