@@ -77,6 +77,9 @@ def config_from_args(args, demo: bool = False) -> Config:
 
 
 def main(argv: Optional[Sequence[str]] = None) -> int:
+    from mmego_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     args = build_parser().parse_args(argv)
 
     if args.train:

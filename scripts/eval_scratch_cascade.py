@@ -10,9 +10,9 @@ Recorded history on the demo split (2026-08-17, one TPU v5e chip):
     round 2 (two uniform ladder iterations):         3.645 -> 3.303 cm
     round 3, fixed eval-batch composition + aggressive restart ladders
     (lr 1e-4 -> 3e-6 per stage, best rung adopted):  3.303 -> 3.013
-    + five full IMU->Upper->Lower chain iterations:
-      2.550 -> 2.312 -> 2.143 -> 2.046 -> 1.972
-    final: avg 1.972 | upper 1.808 | lower 2.216 | rot 3.655 deg
+    + six full IMU->Upper->Lower chain iterations:
+      2.550 -> 2.312 -> 2.143 -> 2.046 -> 1.972 -> 1.944
+    final: avg 1.944 | upper 1.783 | lower 2.185 | rot 3.621 deg
 vs the reference's shipped-checkpoint numbers under the SAME protocol
 (all 835 windows, README.md): avg 3.893, upper 3.51, lower 4.49 -- 49%
 better with zero imported weights.  Held-out-split (167 windows never

@@ -109,7 +109,7 @@ def test_imu_net_tm_pooling_grad_matches_scan_path():
     params = imu_net.imu_net_init(jax.random.PRNGKey(7), hidden=16,
                                   num_layers=2)
     rng = np.random.RandomState(7)
-    imu = jnp.asarray(rng.randn(3, 4, 20, 15).astype(np.float32))
+    imu = jnp.asarray(rng.randn(2, 2, 20, 15).astype(np.float32))
 
     def loss(p, path_pallas):
         with pallas_ctl.override(path_pallas):
