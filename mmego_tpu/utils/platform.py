@@ -38,3 +38,58 @@ def honor_jax_platforms_env() -> None:
         # Backends already initialised -- too late to change; the env var
         # was read at that point, so selection already matched it.
         pass
+
+
+def _default_probe(timeout_s: float) -> bool:
+    """Run one tiny device round trip in a CHILD process, bounded.
+
+    The child (not the parent) pays the backend-init risk: when the remote
+    tunnel is down, init blocks in a native retry loop that no in-process
+    timeout can interrupt, so the only safe probe is a killable subprocess.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp, numpy;"
+            "numpy.asarray((jnp.ones((8, 8)) @ jnp.ones((8, 8)))"
+            ".block_until_ready())")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        ).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def ensure_reachable_backend(timeout_s: float = 120.0, probe=None) -> str:
+    """Fall back to CPU when the ambient accelerator backend is unreachable.
+
+    The deployment tunnel to the TPU chip sporadically goes down for hours;
+    a process that then touches any JAX API hangs forever inside the PJRT
+    plugin's reconnect loop (uninterruptible -- the sleep lives in native
+    code).  Call this at entry of must-finish processes (``bench.py``)
+    BEFORE any backend init:
+
+    * ambient platform already CPU -> no probe, returns ``"cpu"``.
+    * probe round trip succeeds within ``timeout_s`` -> returns the ambient
+      platform name (normal operation, nothing changed).
+    * probe fails/times out -> pins ``jax_platforms`` to CPU in THIS process
+      and returns ``"cpu"`` so callers can annotate published numbers.
+
+    ``probe`` is injectable for tests; the default runs one tiny device
+    round trip in a killable subprocess (see :func:`_default_probe`).
+    The reference has no analogue (local CUDA; no tunnel to lose).
+    """
+    ambient = os.environ.get("JAX_PLATFORMS", "")
+    if ambient == "cpu":
+        return "cpu"
+    if (probe or _default_probe)(timeout_s):
+        return ambient or "default"
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backends already up in-process; caller got there first
+    return "cpu"

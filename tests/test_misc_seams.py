@@ -57,3 +57,23 @@ def test_pallas_ctl_override_and_env(monkeypatch):
     monkeypatch.setenv("MMEGO_PALLAS", "1")
     assert pallas_ctl.enabled("lstm") is False
     monkeypatch.delenv("MMEGO_PALLAS")
+
+
+def test_ensure_reachable_backend_branches(monkeypatch):
+    """bench.py's tunnel-down guard: CPU env short-circuits, a healthy probe
+    keeps the ambient platform, a dead probe pins CPU (the config update is
+    a no-op here because the test process already initialised backends)."""
+    from mmego_tpu.utils import platform as plat
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    called = []
+    assert plat.ensure_reachable_backend(probe=lambda t: called.append(t)) \
+        == "cpu"
+    assert called == []  # no probe when already CPU
+
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    assert plat.ensure_reachable_backend(probe=lambda t: True) == "axon"
+    assert plat.ensure_reachable_backend(probe=lambda t: False) == "cpu"
+
+    monkeypatch.delenv("JAX_PLATFORMS")
+    assert plat.ensure_reachable_backend(probe=lambda t: True) == "default"
