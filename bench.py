@@ -98,10 +98,21 @@ def main(argv):
     # line is annotated so a CPU number is never mistaken for a TPU one.
     from mmego_tpu.utils.platform import ensure_reachable_backend
 
-    platform = ensure_reachable_backend()
+    platform, reason = ensure_reachable_backend()
     fallback = {} if platform != "cpu" else {
         "platform": "cpu",
-        "note": "accelerator backend unreachable; CPU fallback numbers"}
+        "note": ("accelerator backend unreachable; CPU fallback numbers"
+                 if reason == "unreachable" else
+                 "CPU run (%s); not an accelerator result" % reason)}
+
+    if "--train" in argv and fallback:
+        # 9 CPU epochs would grind for an hour before printing anything --
+        # emit an honest line immediately (before the ~3 min CPU selfcheck).
+        print(json.dumps({
+            "metric": "train_epoch_time_all_stages", "value": 0.0,
+            "unit": "s", "vs_baseline": 0.0, **fallback,
+            "error": "train bench skipped on CPU (minutes per epoch)"}))
+        return 1
 
     from mmego_tpu.config import demo_config
     from mmego_tpu import infer

@@ -654,10 +654,18 @@ def _dual_kernel(xf_ref, xb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
 def _dual_direction_layer(layer: dict, x: jnp.ndarray, block_b: int):
     """Both directions of one single-input layer: x (T, BP, F) bf16.
 
+    BP must be a multiple of ``block_b`` (same precondition as
+    ``_fused_direction``): the grid floor-truncates, so tail rows beyond
+    ``nb * block_b`` would silently come back uninitialised.
+
     Returns (y_f, y_b) each (T, BP, H) bf16.
     """
     t, bp, f = x.shape
     hidden = layer["fwd"]["wh"].shape[0]
+    if bp % block_b:
+        raise ValueError(
+            f"batch {bp} not a multiple of block_b {block_b}; the grid "
+            "would drop the tail rows")
     nb = bp // block_b
 
     def w(p):

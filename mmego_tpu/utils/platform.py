@@ -40,56 +40,70 @@ def honor_jax_platforms_env() -> None:
         pass
 
 
-def _default_probe(timeout_s: float) -> bool:
+def _default_probe(timeout_s: float):
     """Run one tiny device round trip in a CHILD process, bounded.
 
     The child (not the parent) pays the backend-init risk: when the remote
     tunnel is down, init blocks in a native retry loop that no in-process
     timeout can interrupt, so the only safe probe is a killable subprocess.
+    Returns the platform NAME the round trip actually ran on (reachability
+    alone is not enough: on a box with no accelerator plugin JAX silently
+    resolves to CPU, which must not be published as an accelerator result),
+    or ``None`` on failure/timeout.
     """
     import subprocess
     import sys
 
     code = ("import jax, jax.numpy as jnp, numpy;"
-            "numpy.asarray((jnp.ones((8, 8)) @ jnp.ones((8, 8)))"
-            ".block_until_ready())")
+            "x = (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready();"
+            "numpy.asarray(x); print(jax.devices()[0].platform)")
     try:
-        return subprocess.run(
+        r = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        ).returncode == 0
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
     except subprocess.TimeoutExpired:
-        return False
+        return None
+    return r.stdout.strip().splitlines()[-1] if r.returncode == 0 else None
 
 
-def ensure_reachable_backend(timeout_s: float = 120.0, probe=None) -> str:
+def _pin_cpu() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass  # backends already up in-process; selection already happened
+
+
+def ensure_reachable_backend(timeout_s: float = 120.0, probe=None):
     """Fall back to CPU when the ambient accelerator backend is unreachable.
 
     The deployment tunnel to the TPU chip sporadically goes down for hours;
     a process that then touches any JAX API hangs forever inside the PJRT
     plugin's reconnect loop (uninterruptible -- the sleep lives in native
     code).  Call this at entry of must-finish processes (``bench.py``)
-    BEFORE any backend init:
+    BEFORE any backend init.  Returns ``(platform, reason)``:
 
-    * ambient platform already CPU -> no probe, returns ``"cpu"``.
-    * probe round trip succeeds within ``timeout_s`` -> returns the ambient
-      platform name (normal operation, nothing changed).
-    * probe fails/times out -> pins ``jax_platforms`` to CPU in THIS process
-      and returns ``"cpu"`` so callers can annotate published numbers.
+    * ``JAX_PLATFORMS=cpu`` requested -> ``("cpu", "requested")``; the
+      config is pinned too (the env var alone does NOT keep the registered
+      PJRT plugin from dialing the tunnel -- the hazard this module exists
+      for).
+    * probe round trip succeeds within ``timeout_s`` -> the platform the
+      probe actually ran on and ``"probed"`` (normal operation; also how a
+      plugin-less dev box is honestly reported as ``("cpu", "probed")``).
+    * probe fails/times out -> pins ``jax_platforms`` to CPU in THIS
+      process and returns ``("cpu", "unreachable")`` so callers annotate
+      published numbers as outage fallback.
 
     ``probe`` is injectable for tests; the default runs one tiny device
     round trip in a killable subprocess (see :func:`_default_probe`).
     The reference has no analogue (local CUDA; no tunnel to lose).
     """
-    ambient = os.environ.get("JAX_PLATFORMS", "")
-    if ambient == "cpu":
-        return "cpu"
-    if (probe or _default_probe)(timeout_s):
-        return ambient or "default"
-    import jax
-
-    try:
-        jax.config.update("jax_platforms", "cpu")
-    except RuntimeError:
-        pass  # backends already up in-process; caller got there first
-    return "cpu"
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        _pin_cpu()
+        return "cpu", "requested"
+    got = (probe or _default_probe)(timeout_s)
+    if got:
+        return got, "probed"
+    _pin_cpu()
+    return "cpu", "unreachable"

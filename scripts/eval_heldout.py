@@ -14,15 +14,13 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
+# The ambient sitecustomize registers the remote-TPU PJRT plugin in every
+# interpreter; with only the env var set, the first jax.devices() call
+# still dials the (possibly unreachable) tunnel.  The helper pins the
+# config before any backend init -- same reason tests/conftest.py does.
+from mmego_tpu.utils.platform import honor_jax_platforms_env
 
-if os.environ.get("JAX_PLATFORMS") == "cpu":
-    # The ambient sitecustomize registers the remote-TPU PJRT plugin in every
-    # interpreter; with only the env var set, the first jax.devices() call
-    # still dials the (possibly unreachable) tunnel.  An explicit config
-    # update before any backend init is the reliable opt-out -- same reason
-    # tests/conftest.py does this.
-    jax.config.update("jax_platforms", "cpu")
+honor_jax_platforms_env()
 
 import numpy as np
 import jax.numpy as jnp

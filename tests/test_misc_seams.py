@@ -60,20 +60,26 @@ def test_pallas_ctl_override_and_env(monkeypatch):
 
 
 def test_ensure_reachable_backend_branches(monkeypatch):
-    """bench.py's tunnel-down guard: CPU env short-circuits, a healthy probe
-    keeps the ambient platform, a dead probe pins CPU (the config update is
-    a no-op here because the test process already initialised backends)."""
+    """bench.py's tunnel-down guard: a requested-CPU env short-circuits (and
+    still pins the config), a healthy probe reports the platform it actually
+    ran on, a dead probe pins CPU and says "unreachable" (config updates are
+    no-ops here because the test process already initialised backends)."""
     from mmego_tpu.utils import platform as plat
 
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     called = []
-    assert plat.ensure_reachable_backend(probe=lambda t: called.append(t)) \
-        == "cpu"
-    assert called == []  # no probe when already CPU
+    assert plat.ensure_reachable_backend(
+        probe=lambda t: called.append(t)) == ("cpu", "requested")
+    assert called == []  # no probe when CPU was explicitly requested
 
     monkeypatch.setenv("JAX_PLATFORMS", "axon")
-    assert plat.ensure_reachable_backend(probe=lambda t: True) == "axon"
-    assert plat.ensure_reachable_backend(probe=lambda t: False) == "cpu"
+    assert plat.ensure_reachable_backend(
+        probe=lambda t: "axon") == ("axon", "probed")
+    assert plat.ensure_reachable_backend(
+        probe=lambda t: None) == ("cpu", "unreachable")
 
+    # plugin-less dev box: env unset, JAX silently resolves to CPU -- the
+    # probe's reported platform (not reachability) is what gets published
     monkeypatch.delenv("JAX_PLATFORMS")
-    assert plat.ensure_reachable_backend(probe=lambda t: True) == "default"
+    assert plat.ensure_reachable_backend(
+        probe=lambda t: "cpu") == ("cpu", "probed")
