@@ -120,6 +120,8 @@ def latest_epoch(dirpath: str) -> str | None:
         return None
     best, best_epoch = None, -1
     for name in os.listdir(dirpath):
+        if name.endswith(".state.npz"):
+            continue  # BN-state sidecar of the same epoch, not the params
         m = re.match(r"epoch(\d+)_.*\.npz$", name)
         if m and int(m.group(1)) > best_epoch:
             best_epoch = int(m.group(1))

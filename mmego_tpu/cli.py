@@ -85,14 +85,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.train:
         from mmego_tpu.train import loop
         cfg = config_from_args(args)
-        if args.network == "IMU_Net":
-            loop.train_imu(cfg)
-        elif args.network == "Upper_Net":
-            loop.train_upper(cfg)
-        elif args.network == "Lower_Net":
-            loop.train_lower(cfg)
-        else:
-            raise SystemExit("--train requires --network")
+        if args.profile:
+            import jax
+            jax.profiler.start_trace(f"{cfg.report_root}/profile")
+        try:
+            if args.network == "IMU_Net":
+                loop.train_imu(cfg)
+            elif args.network == "Upper_Net":
+                loop.train_upper(cfg)
+            elif args.network == "Lower_Net":
+                loop.train_lower(cfg)
+            else:
+                raise SystemExit("--train requires --network")
+        finally:
+            if args.profile:
+                import jax
+                jax.profiler.stop_trace()
         return 0
 
     if args.infer:

@@ -164,7 +164,12 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
     """One subject's walk: calibration state resets here (Dataset.py:120-122)."""
     out = {k: [] for k in ARRAY_KEYS}
 
-    action_dirs = sorted(os.listdir(data_root), key=int)
+    # Numeric-named subdirectories only: a stray file (.DS_Store, notes.txt)
+    # in the data root must not abort the whole ingest.
+    action_dirs = sorted(
+        (d for d in os.listdir(data_root)
+         if d.isdigit() and os.path.isdir(os.path.join(data_root, d))),
+        key=int)
     calibrated = False
     r_ref = orientation_ref = None
     body_length = None
@@ -174,10 +179,12 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
     snippets = []
     for act, action_name in enumerate(action_dirs):
         action_path = os.path.join(data_root, action_name)
-        for j, snippet_name in enumerate(sorted(os.listdir(action_path))):
+        # Enumerate directories only: a stray FILE must not consume a j slot
+        # (j==0 drives the first-snippet skip below).
+        snippet_names = [s for s in sorted(os.listdir(action_path))
+                         if os.path.isdir(os.path.join(action_path, s))]
+        for j, snippet_name in enumerate(snippet_names):
             snippet_path = os.path.join(action_path, snippet_name)
-            if not os.path.isdir(snippet_path):
-                continue
             mats = sorted(glob.glob(os.path.join(snippet_path, "*.mat")),
                           key=_numeric_key)
             if not mats:

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from mmego_tpu.config import Config
 from mmego_tpu.data import dataset as dataset_mod
+from mmego_tpu.parallel import mesh as mesh_mod
 from mmego_tpu.models import cascade, imu_net, upper_net, lower_net
 from mmego_tpu.checkpoint import store, torch_import
 from mmego_tpu.train import metrics as metrics_mod
@@ -33,6 +34,17 @@ def load_cascade_params(cfg: Config) -> Tuple[cascade.CascadeParams, cascade.Cas
             return fallback_pth
         return path
 
+    def load_with_state(path, template_p, template_s):
+        state_path = os.path.splitext(path)[0] + ".state.npz"
+        if not os.path.exists(state_path):
+            raise FileNotFoundError(
+                f"Checkpoint {path} has no BN-state sidecar ({state_path}). "
+                "Inference needs the BatchNorm running stats saved alongside "
+                "the params; copy the .state.npz that the trainer wrote next "
+                "to this checkpoint (train resume would fall back to init "
+                "stats, but eval through init stats produces garbage).")
+        return store.load(path, template_p), store.load(state_path, template_s)
+
     upper_path = resolve(cfg.model_upper_path, cfg.reference_upper_pth)
     lower_path = resolve(cfg.model_lower_path, cfg.reference_lower_pth)
 
@@ -40,16 +52,12 @@ def load_cascade_params(cfg: Config) -> Tuple[cascade.CascadeParams, cascade.Cas
         upper_p, upper_s = torch_import.import_upper(upper_path)
     else:
         template_p, template_s = upper_net.upper_net_init(jax.random.PRNGKey(0))
-        upper_p = store.load(upper_path, template_p)
-        upper_s = store.load(os.path.splitext(upper_path)[0] + ".state.npz",
-                             template_s)
+        upper_p, upper_s = load_with_state(upper_path, template_p, template_s)
     if lower_path.endswith(".pth"):
         lower_p, lower_s = torch_import.import_lower(lower_path)
     else:
         template_p, template_s = lower_net.lower_net_init(jax.random.PRNGKey(0))
-        lower_p = store.load(lower_path, template_p)
-        lower_s = store.load(os.path.splitext(lower_path)[0] + ".state.npz",
-                             template_s)
+        lower_p, lower_s = load_with_state(lower_path, template_p, template_s)
 
     if cfg.model_imu_path.endswith(".pth"):
         imu_p = torch_import.import_imu(cfg.model_imu_path)
@@ -68,11 +76,8 @@ def load_cascade_params(cfg: Config) -> Tuple[cascade.CascadeParams, cascade.Cas
     return params, state
 
 
-def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
-    if len(x) == n:
-        return x
-    pad = np.repeat(x[-1:], n - len(x), axis=0)
-    return np.concatenate([x, pad], axis=0)
+# Shared repeat-last-row padding primitive (parallel/mesh.pad_leading).
+_pad_to = mesh_mod.pad_leading
 
 
 from functools import partial
@@ -230,8 +235,13 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
 
 def evaluate(cfg: Config, data=None, params=None, state=None,
              time_it: bool = True, verbose: bool = True,
-             batch: Optional[int] = None, return_preds: bool = True) -> Dict:
+             batch: Optional[int] = None, return_preds: bool = False) -> Dict:
     """The full --infer evaluation: metrics block + throughput.
+
+    ``return_preds=True`` additionally materialises every window's joint
+    predictions via a SECOND compiled program (metrics-free cascade) and a
+    full extra pass over the set -- off by default; metrics alone need one
+    program and no bulk D2H.
 
     The whole window set is pushed to HBM once; the timed region covers, per
     device batch, the full cascade + on-device metric accumulation + the D2H

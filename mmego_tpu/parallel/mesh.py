@@ -21,6 +21,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
@@ -86,11 +87,23 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def pad_leading(x, n: int):
+    """Repeat-last-row pad of the leading axis up to length ``n``.
+
+    THE batch-alignment primitive, shared by inference batching, the
+    trainers' epoch batching, and DP device-multiple padding: repeating the
+    last row keeps padded rows statistically plausible for train-mode
+    BatchNorm, and every consumer neutralises them with zero weights at the
+    loss/metric level.  Works on host (numpy) and device (jax) arrays.
+    """
+    cur = x.shape[0]
+    if cur >= n:
+        return x
+    xp = jnp if isinstance(x, jax.Array) else np
+    return xp.concatenate([x, xp.repeat(x[-1:], n - cur, axis=0)], axis=0)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int):
     """Pad the leading axis up to a multiple (returns array + real count)."""
     n = len(x)
-    rem = (-n) % multiple
-    if rem == 0:
-        return x, n
-    pad = np.repeat(x[-1:], rem, axis=0)
-    return np.concatenate([x, pad], axis=0), n
+    return pad_leading(x, n + ((-n) % multiple)), n

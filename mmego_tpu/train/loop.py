@@ -74,12 +74,8 @@ def _pad_batch(arrays, batch: int):
     n = len(arrays[0])
     w = np.zeros((batch,), np.float32)
     w[:n] = 1.0
-    padded = []
-    for a in arrays:
-        if n < batch:
-            a = np.concatenate([a, np.repeat(a[-1:], batch - n, axis=0)], axis=0)
-        padded.append(jnp.asarray(a))
-    return padded, jnp.asarray(w)
+    return ([jnp.asarray(mesh_mod.pad_leading(a, batch)) for a in arrays],
+            jnp.asarray(w))
 
 
 class _Resident:
@@ -174,8 +170,8 @@ def _shard(mesh, arrays, w):
     n_dev = mesh.devices.size
     rem = (-arrays[0].shape[0]) % n_dev
     if rem:
-        arrays = [jnp.concatenate([a, jnp.repeat(a[-1:], rem, axis=0)], axis=0)
-                  for a in arrays]
+        target = arrays[0].shape[0] + rem
+        arrays = [mesh_mod.pad_leading(a, target) for a in arrays]
         w = jnp.concatenate([w, jnp.zeros((rem,), w.dtype)], axis=0)
     s = mesh_mod.batch_sharding(mesh)
     return [jax.device_put(a, s) for a in arrays], jax.device_put(w, s)
@@ -314,6 +310,7 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         acc_ev = jnp.zeros((2,), jnp.float32)
         for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size,
                                                   _EVAL_RNG(), fields):
+            (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
             acc_ev = eval_step(params, acc_ev, imu, key, r_gt, w)
         # Exactly two host fetches per epoch (train + eval accumulators);
         # each fetch also forces completion of its dispatch chain.
@@ -451,6 +448,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         acc_ev = jnp.zeros((2 + 15 + 1,), jnp.float32)
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, _EVAL_RNG(), fields):
+            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
             acc_ev = eval_step(params, state, acc_ev, imu_params, cloud,
                                key, imu, bones, w)
         ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch
@@ -583,6 +581,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         acc_ev = jnp.zeros((2 + 8 + 1,), jnp.float32)
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, _EVAL_RNG(), fields):
+            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
             acc_ev = eval_step(params, state, acc_ev, frozen, cloud, key,
                                imu, bones, w)
         ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch

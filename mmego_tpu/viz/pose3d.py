@@ -26,7 +26,14 @@ from mmego_tpu.config import (  # noqa: E402
 
 def draw_pose(pose: np.ndarray, ax, floor: float, upper_only: bool = False):
     """Draw one 21-joint (or 15-joint upper) skeleton on a 3-D axis
-    (Utils.py:152-194)."""
+    (Utils.py:152-194).
+
+    ``floor`` is accepted but not rendered, matching the reference exactly:
+    ``Utils_demo.py:152-161`` builds a floor-plane meshgrid from it but its
+    only ``plot_surface`` call is commented out (``:132``), so reference
+    artifacts ship without the plane.  Kept in the signature so per-frame
+    ground heights stay plumbed for anyone re-enabling the plane.
+    """
     pose = np.array(pose, copy=True)
     if not upper_only:
         pose[:, 1] -= 0.2

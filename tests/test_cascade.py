@@ -83,4 +83,8 @@ def test_epoch_path_and_latest():
         p2 = store.epoch_path(d, 1001, 99, 20, 20, 3e-5)
         store.save(p1, {"x": jnp.zeros(3)})
         store.save(p2, {"x": jnp.ones(3)})
+        # BN-state sidecars share the epoch prefix; latest_epoch must never
+        # return one (os.listdir order is arbitrary, so without the filter
+        # this failed nondeterministically across filesystems).
+        store.save(os.path.splitext(p2)[0] + ".state.npz", {"m": jnp.zeros(2)})
         assert store.latest_epoch(os.path.dirname(p1)) == p2

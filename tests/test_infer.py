@@ -37,7 +37,8 @@ def setup():
 
 def test_evaluate_plumbing(setup):
     cfg, data, params, state = setup
-    m = infer.evaluate(cfg, data=data, params=params, state=state, verbose=False)
+    m = infer.evaluate(cfg, data=data, params=params, state=state,
+                       verbose=False, return_preds=True)
     assert m["windows"] == 5
     assert m["preds"]["all"].shape == (5, 4, 21, 3)
     assert np.isfinite(m["avg_cm"])
@@ -47,9 +48,9 @@ def test_evaluate_plumbing(setup):
 def test_evaluate_batch_override(setup):
     cfg, data, params, state = setup
     m2 = infer.evaluate(cfg, data=data, params=params, state=state,
-                        verbose=False, batch=5)
+                        verbose=False, batch=5, return_preds=True)
     m1 = infer.evaluate(cfg, data=data, params=params, state=state,
-                        verbose=False, batch=2)
+                        verbose=False, batch=2, return_preds=True)
     # same predictions regardless of device batch partitioning
     np.testing.assert_allclose(m1["preds"]["all"], m2["preds"]["all"],
                                rtol=1e-4, atol=1e-5)

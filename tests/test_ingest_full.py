@@ -37,6 +37,10 @@ def full_tree(tmp_path):
 
 
 def test_full_layout_subjects_and_actions(full_tree):
+    # Stray non-numeric entries in a subject dir (editor droppings, notes)
+    # must be skipped, not crash the `sorted(..., key=int)` walk.
+    with open(os.path.join(full_tree, "s1", ".DS_Store"), "w") as f:
+        f.write("junk")
     packed = ingest_mod.ingest(full_tree, frame_no=4, pc_no=16, layout="full")
     # per subject: first snippet of first action skipped -> 3 snippets x 2
     # windows of 4 frames = 6 windows; 2 subjects -> 12
