@@ -52,7 +52,15 @@ def _make_loader():
     if os.environ.get("MMEGO_NATIVE_MAT", "1") != "0":
         from mmego_tpu.data import native
         if native.available():
-            return lambda p: native.loadmat(p, MAT_KEYS)
+            def _load(p):
+                try:
+                    return native.loadmat(p, MAT_KEYS)
+                except IOError:
+                    # Per-FILE fallback: one file the lean C++ parser rejects
+                    # (exotic MAT feature, corruption) must not abort a
+                    # 19,208-file walk -- scipy gets a second opinion.
+                    return scio.loadmat(p)
+            return _load
     return scio.loadmat
 
 

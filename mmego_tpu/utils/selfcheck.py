@@ -15,6 +15,7 @@ ground truth the unit/parity tests are anchored to) and reports the deviation
 
 from __future__ import annotations
 
+import sys
 from typing import Dict, Optional
 
 import numpy as np
@@ -167,7 +168,7 @@ def run(params, state, data, batch: int, lower_pc_no: int = 64,
     if verbose:
         status = "ok" if ok else "VIOLATION"
         print(f"[selfcheck] batch-invariance max dev {bi['max']:.2e} m "
-              f"(tol {tol_batch:.0e}) -> {status}")
+              f"(tol {tol_batch:.0e}) -> {status}", file=sys.stderr)
     if tol_kernel is not None:
         kc = kernel_crosscheck(params, state, data,
                                lower_pc_no=lower_pc_no, imu_used=imu_used)
@@ -179,10 +180,11 @@ def run(params, state, data, batch: int, lower_pc_no: int = 64,
                 print(f"[selfcheck] kernel-vs-scan max dev {kc['max']:.2e} m "
                       f"(tol {tol_kernel:.0e}), metric gap "
                       f"{kc['metric_delta_cm']:.4f} cm (tol {tol_metric_cm}) "
-                      f"-> {status}")
+                      f"-> {status}", file=sys.stderr)
             ok = ok and kern_ok
         elif verbose:
-            print("[selfcheck] kernel-vs-scan skipped (backend is not tpu)")
+            print("[selfcheck] kernel-vs-scan skipped (backend is not tpu)",
+                  file=sys.stderr)
     if tol_cpu is not None:
         cc = cpu_crosscheck(params, state, data,
                             lower_pc_no=lower_pc_no, imu_used=imu_used)
@@ -193,6 +195,6 @@ def run(params, state, data, batch: int, lower_pc_no: int = 64,
             print(f"[selfcheck] cpu-crosscheck max dev {cc['max']:.2e} m "
                   f"(tol {tol_cpu:.0e}), metric gap "
                   f"{cc['metric_delta_cm']:.4f} cm (tol {tol_metric_cm}) "
-                  f"-> {status}")
+                  f"-> {status}", file=sys.stderr)
         ok = ok and cpu_ok
     return ok

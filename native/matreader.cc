@@ -58,9 +58,14 @@ struct Cursor {
     uint32_t word0, word1;
     memcpy(&word0, p + off, 4);
     memcpy(&word1, p + off + 4, 4);
-    if (word0 >> 16) {  // small element format
+    if (word0 >> 16) {  // small element format: payload inline, <= 4 bytes
       *type = word0 & 0xffff;
       *bytes = word0 >> 16;
+      // The inline payload lives in the 4 bytes already bounds-checked
+      // above; a "small" tag claiming more than 4 bytes is malformed and
+      // would otherwise send widen()/name.assign() up to 64 KB out of
+      // bounds.
+      if (*bytes > 4) return false;
       *data = p + off + 4;
       *advance = 8;
       return true;
@@ -153,16 +158,25 @@ bool inflate_buf(const uint8_t* src, size_t n, std::vector<uint8_t>* out) {
   out->resize(n * 8 + 1024);
   zs.next_in = const_cast<uint8_t*>(src);
   zs.avail_in = (uInt)n;
-  int ret;
+  int ret = Z_OK;
   size_t written = 0;
-  do {
+  // Loop until stream end, NOT until input is consumed: zlib can hold
+  // pending output after avail_in hits 0 (variables compressing > 8x fill
+  // the initial buffer exactly), and exiting early would reject them.
+  while (ret != Z_STREAM_END) {
     if (written == out->size()) out->resize(out->size() * 2);
     zs.next_out = out->data() + written;
     zs.avail_out = (uInt)(out->size() - written);
     ret = inflate(&zs, Z_NO_FLUSH);
     written = out->size() - zs.avail_out;
     if (ret != Z_OK && ret != Z_STREAM_END) { inflateEnd(&zs); return false; }
-  } while (ret != Z_STREAM_END && zs.avail_in > 0);
+    if (ret == Z_OK && zs.avail_out != 0 && zs.avail_in == 0) {
+      // Output space remained, input exhausted, stream not ended:
+      // truncated deflate stream.
+      inflateEnd(&zs);
+      return false;
+    }
+  }
   out->resize(written);
   inflateEnd(&zs);
   return ret == Z_STREAM_END;

@@ -11,11 +11,11 @@ Usage: python scripts/continue_upper_local.py [LR ...]   (default: 3e-5 1e-5)
 """
 
 import os
-import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _common import adopt
 from mmego_tpu.config import Config
 from mmego_tpu.train import loop
 
@@ -39,9 +39,7 @@ def main():
             with open(os.path.join(_RUN, name), "a") as dst, open(src) as s:
                 dst.write(f"# continued, lr {lr:g} (runs/{idx})\n" + s.read())
         print(f"lr {lr:g}: stopped at {ckpt}", flush=True)
-    shutil.copy(path, _CKPT)
-    shutil.copy(path.replace(".npz", ".state.npz"),
-                _CKPT.replace(".npz", ".state.npz"))
+    adopt(path, _CKPT)
     print("adopted:", _CKPT, flush=True)
 
 

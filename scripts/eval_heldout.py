@@ -25,13 +25,11 @@ honor_jax_platforms_env()
 import numpy as np
 import jax.numpy as jnp
 
+from _common import stack_paths
 from mmego_tpu.config import demo_config
 from mmego_tpu.data import dataset as dataset_mod
 from mmego_tpu import infer
 from mmego_tpu.train import metrics as mm
-
-_ART = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "artifacts")
 
 
 def heldout(tag: str, **paths) -> dict:
@@ -46,15 +44,6 @@ def heldout(tag: str, **paths) -> dict:
           f"{m['upper_cm']:.4f} lower {m['lower_cm']:.4f} "
           f"rot {m['rot_deg']:.4f} deg)", flush=True)
     return m
-
-
-def stack_paths(name: str) -> dict:
-    if name == "headline":
-        return {}
-    d = os.path.join(_ART, name)
-    return dict(model_imu_path=os.path.join(d, "imu_net.ckpt.npz"),
-                model_upper_path=os.path.join(d, "upper_net.ckpt.npz"),
-                model_lower_path=os.path.join(d, "lower_net.ckpt.npz"))
 
 
 if __name__ == "__main__":

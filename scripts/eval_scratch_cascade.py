@@ -24,15 +24,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _common import stack_paths
 from mmego_tpu.config import demo_config
 from mmego_tpu import infer
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "artifacts", "scratch")
-
 if __name__ == "__main__":
-    cfg = demo_config(
-        model_imu_path=os.path.join(_SCRATCH, "imu_net.ckpt.npz"),
-        model_upper_path=os.path.join(_SCRATCH, "upper_net.ckpt.npz"),
-        model_lower_path=os.path.join(_SCRATCH, "lower_net.ckpt.npz"))
-    infer.evaluate(cfg, return_preds=False)
+    infer.evaluate(demo_config(**stack_paths("scratch")), return_preds=False)

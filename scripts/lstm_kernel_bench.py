@@ -11,7 +11,10 @@ Run on the TPU:  python scripts/lstm_kernel_bench.py
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

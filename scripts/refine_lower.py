@@ -20,8 +20,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import shutil
-
+from _common import adopt
 from mmego_tpu.config import Config, demo_config
 from mmego_tpu.train import loop
 from mmego_tpu import infer
@@ -40,7 +39,5 @@ if __name__ == "__main__":
         print(f"lr {lr:g}: stop ckpt {ckpt} -> avg {m['avg_cm']:.4f} cm "
               f"(lower {m['lower_cm']:.4f})")
         lower_path = ckpt
-    shutil.copy(lower_path, cfg0.model_lower_path)
-    shutil.copy(lower_path.replace(".npz", ".state.npz"),
-                cfg0.model_lower_path.replace(".npz", ".state.npz"))
+    adopt(lower_path, cfg0.model_lower_path)
     print("adopted:", cfg0.model_lower_path)

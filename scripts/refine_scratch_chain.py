@@ -15,31 +15,18 @@ History (demo-split avg, zero imported weights):
 """
 
 import os
-import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from _common import adopt, stack_paths
 from mmego_tpu.config import Config, demo_config
 from mmego_tpu.train import loop
 from mmego_tpu import infer
 
-_SCRATCH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "artifacts", "scratch")
-
 
 def scratch_paths():
-    return dict(
-        model_imu_path=os.path.join(_SCRATCH, "imu_net.ckpt.npz"),
-        model_upper_path=os.path.join(_SCRATCH, "upper_net.ckpt.npz"),
-        model_lower_path=os.path.join(_SCRATCH, "lower_net.ckpt.npz"))
-
-
-def adopt(ckpt: str, dest: str, with_state: bool):
-    shutil.copy(ckpt, dest)
-    if with_state:
-        shutil.copy(ckpt.replace(".npz", ".state.npz"),
-                    dest.replace(".npz", ".state.npz"))
+    return stack_paths("scratch")
 
 
 def evaluate(tag: str) -> float:
@@ -51,9 +38,11 @@ def evaluate(tag: str) -> float:
 
 
 def main():
-    lr = float(sys.argv[1])
-    base_idx = int(sys.argv[2]) if len(sys.argv) > 2 else 460
+    # Flags and positionals may interleave: `LR [BASE_IDX] [--skip-imu]`.
     skip_imu = "--skip-imu" in sys.argv
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    lr = float(pos[0])
+    base_idx = int(pos[1]) if len(pos) > 1 else 460
     paths = scratch_paths()
 
     evaluate("start")

@@ -13,24 +13,21 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import glob
-import re
-
+from mmego_tpu.checkpoint import store
 from mmego_tpu.config import Config
 from mmego_tpu.train import loop
 
 
 def latest_ckpt(run_idx: int) -> str:
-    """Newest (highest-epoch) param checkpoint of a run, sorted NUMERICALLY
-    (lexicographic sort puts epoch99 after epoch349).  Skips non-epoch files
-    such as the best-eval snapshot ``best.npz`` (cfg.save_best)."""
-    paths = [(int(m.group(1)), p)
-             for p in glob.glob(f"runs/{run_idx}/model/*.npz")
-             if not p.endswith(".state.npz")
-             for m in [re.search(r"epoch(\d+)", os.path.basename(p))] if m]
-    if not paths:
-        raise FileNotFoundError(f"no epoch checkpoints under runs/{run_idx}/model")
-    return max(paths)[1]
+    """Newest (highest-epoch) param checkpoint of a run (numeric epoch sort,
+    BN-state sidecars and best.npz skipped -- checkpoint/store.latest_epoch).
+    Anchored at Config.report_root, NOT the cwd, so the scripts work from
+    any directory."""
+    d = os.path.join(Config().report_root, str(run_idx), "model")
+    path = store.latest_epoch(d)
+    if path is None:
+        raise FileNotFoundError(f"no epoch checkpoints under {d}")
+    return path
 
 
 if __name__ == "__main__":
