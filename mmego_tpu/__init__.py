@@ -43,6 +43,16 @@ def _enable_compile_cache():
 
 _enable_compile_cache()
 
+# Honor JAX_PLATFORMS for EVERY entry point (scripts, tests, embedders):
+# the deployment env pre-registers a remote-TPU PJRT plugin via
+# sitecustomize, and once that happened the env var alone no longer keeps
+# the first jax.devices() off the (possibly unreachable) tunnel -- only a
+# config update issued before backend init does.  No-op when the var is
+# unset or a backend is already up (utils/platform.py).
+from mmego_tpu.utils.platform import honor_jax_platforms_env as _honor
+
+_honor()
+
 from mmego_tpu.config import Config, demo_config, DEFAULT
 
 __version__ = "0.1.0"
