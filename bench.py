@@ -154,13 +154,15 @@ def main(argv):
     # for seconds-to-minutes (docs/PERFORMANCE.md) -- best-of absorbs the
     # outliers; each pass is ~0.1 s of device time.
     best = None
-    # CPU fallback: one pass at the big batch (a CPU pass is ~100 s; the
-    # best-of-5 x 2-batch sweep only matters for tunnel-jitter absorption).
-    for batch in ((835,) if fallback else (167, 835)):
+    # CPU fallback: ONE timed pass at batch 167 with a first-batch-only
+    # compile warmup (a full CPU pass is ~3 min; the best-of-5 x 2-batch
+    # sweep only matters for tunnel-jitter absorption).
+    for batch in ((167,) if fallback else (167, 835)):
         for _ in range(1 if fallback else 5):
             m = infer.evaluate(cfg, data=data, params=params, state=state,
                                verbose=False, batch=batch,
-                               return_preds=False)
+                               return_preds=False,
+                               full_warmup=not fallback)
             m["batch"] = batch
             if best is None or m["it_per_s"] > best["it_per_s"]:
                 best = m

@@ -235,8 +235,13 @@ def stage_timing(cfg: Config, data=None, params=None, state=None,
 
 def evaluate(cfg: Config, data=None, params=None, state=None,
              time_it: bool = True, verbose: bool = True,
-             batch: Optional[int] = None, return_preds: bool = False) -> Dict:
+             batch: Optional[int] = None, return_preds: bool = False,
+             full_warmup: bool = True) -> Dict:
     """The full --infer evaluation: metrics block + throughput.
+
+    ``full_warmup=False`` warms the compile with one batch dispatch instead
+    of a whole-set pass -- for CPU-fallback benchmarking, where a full pass
+    costs minutes and compile exclusion only needs the program built.
 
     ``return_preds=True`` additionally materialises every window's joint
     predictions via a SECOND compiled program (metrics-free cascade) and a
@@ -288,7 +293,15 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
                 take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc)
         return metrics_mod.unpack_metric_sums(np.asarray(acc))
 
-    run_all()                                   # warmup/compile dispatch
+    if full_warmup:
+        run_all()                               # warmup/compile dispatch
+    else:
+        acc = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
+        sl = slice(0, batch)
+        take = (lambda a: a) if batch == padded else (lambda a: a[sl])
+        np.asarray(_cascade_metrics_acc_jit(    # fetch forces completion
+            params, state, take(cloud_d), take(imu_d), take(bones_d),
+            take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc))
     t0 = time.perf_counter()
     sums = run_all()
     elapsed = time.perf_counter() - t0
