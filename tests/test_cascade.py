@@ -2,6 +2,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -65,10 +66,8 @@ def test_store_roundtrip_cascade_params():
 
 
 def test_orbax_roundtrip():
-    pytest = __import__("pytest")
     pytest.importorskip("orbax.checkpoint")
     params, _ = _small_cascade(jax.random.PRNGKey(2))
-    import tempfile
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "ck")
         store.save_orbax(path, params.upper)

@@ -66,6 +66,7 @@ def test_full_set_digests(packed, fx):
 def test_cloud_point_content_matches(packed, fx):
     """Real (non-zero) points per frame must match as unordered sets whenever
     the frame wasn't subsampled (ref padding scatters the same points)."""
+    compared = 0
     for w in range(10):
         for f in range(20):
             ours = packed["cloud"][w, f]
@@ -78,6 +79,10 @@ def test_cloud_point_content_matches(packed, fx):
             a = ours_real[np.lexsort(ours_real.T)]
             b = ref_real[np.lexsort(ref_real.T)]
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+            compared += 1
+    # guard against vacuous passes: a denser capture (every frame
+    # subsampled) would otherwise skip all 200 comparisons silently
+    assert compared > 0, "no un-subsampled frames compared"
 
 
 @needs_data

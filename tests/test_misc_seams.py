@@ -33,8 +33,9 @@ def test_iter_loaded_preserves_order_with_workers():
     import time
 
     def slow_load(p):
-        # jitter so out-of-order completion would be exposed
-        time.sleep(0.001 * (hash(p) % 7))
+        # deterministic per-index jitter so out-of-order completion would be
+        # exposed identically on every run (hash(p) varies by PYTHONHASHSEED)
+        time.sleep(0.001 * ((int(p[1:4]) * 3) % 7))
         return {"path": p}
 
     paths = [f"f{i:03d}.mat" for i in range(50)]

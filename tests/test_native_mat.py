@@ -17,8 +17,10 @@ import scipy.io as scio
 from mmego_tpu.data import native
 from mmego_tpu.data import ingest as ingest_mod
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native matreader not built")
+# Applied per-test, NOT module-wide: the _make_loader fallback test must run
+# precisely on boxes WITHOUT the native binary (that's the path they use).
+needs_native = pytest.mark.skipif(not native.available(),
+                                  reason="native matreader not built")
 
 
 def _roundtrip(tmp_path, arrays, compress):
@@ -31,6 +33,7 @@ def _roundtrip(tmp_path, arrays, compress):
     return got
 
 
+@needs_native
 @pytest.mark.parametrize("compress", [False, True])
 def test_parity_vs_scipy(tmp_path, compress):
     rng = np.random.RandomState(0)
@@ -43,6 +46,7 @@ def test_parity_vs_scipy(tmp_path, compress):
     _roundtrip(tmp_path, arrays, compress)
 
 
+@needs_native
 def test_highly_compressible_variable(tmp_path):
     """A mostly-constant array compresses far beyond 8x; inflate_buf must
     keep draining zlib's pending output after avail_in hits zero."""
@@ -52,6 +56,7 @@ def test_highly_compressible_variable(tmp_path):
     assert got["big"].shape == (400, 400)
 
 
+@needs_native
 def test_truncated_file_raises_ioerror(tmp_path):
     p = str(tmp_path / "t.mat")
     scio.savemat(p, {"a": np.ones((4, 4))}, do_compression=True)

@@ -130,12 +130,7 @@ def test_fused_stack_tm_attn_matches_posthoc_logits():
     """In-kernel attention logits == post-hoc einsum over the halves (both
     directions' scratch column orders; bf16-grade tolerance since the
     kernel's aw rides the MXU in bf16)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from jax.experimental.pallas import tpu as pltpu
-    from mmego_tpu.nn import lstm as lstm_mod
-    from mmego_tpu.ops import pallas_lstm as pll
+    pll = pallas_lstm
 
     params = lstm_mod.lstm_init(jax.random.PRNGKey(0), 24, 16, 2, True)
     x_tm = jax.random.normal(jax.random.PRNGKey(1), (7, 40, 24), jnp.float32)

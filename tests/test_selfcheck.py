@@ -2,22 +2,14 @@ import numpy as np
 import jax
 
 from mmego_tpu.models import cascade
-from mmego_tpu.data.dataset import WindowData
 from mmego_tpu.utils import selfcheck
 
 
-def _tiny(rng, n=8, l=4, pts=16):
-    return WindowData(
-        cloud=rng.randn(n, l, pts, 6).astype(np.float32),
-        key=rng.randn(n, l, 21, 3).astype(np.float32),
-        imu=rng.randn(n, l, 20, 15).astype(np.float32),
-        bones=np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (n, 1, 1)),
-        ground=rng.randn(n, l, 4).astype(np.float32),
-        foot_contact=rng.randn(n, l, 2, 2).astype(np.float32),
-        r_r0r=np.tile(np.eye(3, dtype=np.float32), (n, l, 1, 1)),
-        t_r0r=rng.randn(n, l, 3).astype(np.float32),
-        action=np.zeros(n, np.int32),
-    )
+from _helpers import tiny_windows
+
+
+def _tiny(rng, n=8):
+    return tiny_windows(rng, n)
 
 
 def test_selfcheck_passes_on_cpu():

@@ -78,7 +78,6 @@ def test_entry_compiles():
 
 def test_make_mesh_refuses_short():
     """Requesting more devices than exist must raise, never shrink."""
-    import pytest
     with pytest.raises(ValueError, match="refusing"):
         mesh_mod.make_mesh(16)
 
@@ -91,26 +90,15 @@ def _tiny_world(tmp_path, monkeypatch, batch_size, n_train=16):
     """A tiny Upper-stage training world (mocked splits + small IMU ckpt)."""
     import unittest.mock as mock
     from mmego_tpu.config import Config
-    from mmego_tpu.data.dataset import WindowData
+    from _helpers import tiny_windows
     from mmego_tpu.checkpoint import store
     from mmego_tpu.models import imu_net
     from mmego_tpu.train import loop
 
     rng = np.random.RandomState(3)
 
-    def _data(n, l=4, pts=16):
-        bones = np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (n, 1, 1))
-        return WindowData(
-            cloud=rng.randn(n, l, pts, 6).astype(np.float32),
-            key=rng.randn(n, l, 21, 3).astype(np.float32),
-            imu=rng.randn(n, l, 20, 15).astype(np.float32),
-            bones=bones,
-            ground=rng.randn(n, l, 4).astype(np.float32),
-            foot_contact=rng.randn(n, l, 2, 2).astype(np.float32),
-            r_r0r=np.tile(np.eye(3, dtype=np.float32), (n, l, 1, 1)),
-            t_r0r=rng.randn(n, l, 3).astype(np.float32),
-            action=np.zeros(n, np.int32),
-        )
+    def _data(n):
+        return tiny_windows(rng, n)
 
     cfg = Config(idx=9, frame_no=4, pc_no=16, lower_pc_no=8,
                  batch_size=batch_size, early_stop_patience=100, save_slot=100,
@@ -170,9 +158,12 @@ def test_train_upper_dp_engages_on_indivisible_batch(tmp_path, monkeypatch):
                      if hasattr(arrays2[0], "addressable_shards") else 1))
         return arrays2, w2
 
-    monkeypatch.setattr(loop, "_shard", spy)
+    # Build the world (its train_imu prerun also calls _shard under the
+    # AMBIENT MMEGO_DP) before installing the spy and pinning DP on, so the
+    # assertions below only see the run under test.
     cfg, small = _tiny_world(tmp_path, monkeypatch, batch_size=6, n_train=6)
     monkeypatch.setenv("MMEGO_DP", "auto")
+    monkeypatch.setattr(loop, "_shard", spy)
     with small:
         loop.train_upper(cfg.replace(idx=93), max_epochs=1, verbose=False)
     assert seen, "spy never called"

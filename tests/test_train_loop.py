@@ -13,25 +13,16 @@ import pytest
 import jax
 
 from mmego_tpu.config import Config
-from mmego_tpu.data.dataset import WindowData
 from mmego_tpu.checkpoint import store
 from mmego_tpu.models import imu_net
 from mmego_tpu.train import loop
 
 
-def _tiny_data(rng, n=6, l=4, pts=16):
-    bones = np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (n, 1, 1))
-    return WindowData(
-        cloud=rng.randn(n, l, pts, 6).astype(np.float32),
-        key=rng.randn(n, l, 21, 3).astype(np.float32),
-        imu=rng.randn(n, l, 20, 15).astype(np.float32),
-        bones=bones,
-        ground=rng.randn(n, l, 4).astype(np.float32),
-        foot_contact=rng.randn(n, l, 2, 2).astype(np.float32),
-        r_r0r=np.tile(np.eye(3, dtype=np.float32), (n, l, 1, 1)),
-        t_r0r=rng.randn(n, l, 3).astype(np.float32),
-        action=np.zeros(n, np.int32),
-    )
+from _helpers import tiny_windows
+
+
+def _tiny_data(rng, n=6):
+    return tiny_windows(rng, n)
 
 
 @pytest.fixture
@@ -64,7 +55,8 @@ def test_train_imu_runs_and_checkpoints(tiny_cfg):
     assert ckpt is not None and os.path.exists(ckpt)
     log = os.path.join(tiny_cfg.report_root, "7", "report", "log-loss.txt")
     assert os.path.exists(log)
-    assert len(open(log).readlines()) == 3
+    with open(log) as f:
+        assert len(f.readlines()) == 3
     # checkpoint round-trips through the store
     loaded = store.load(ckpt, params)
     assert jax.tree.all(jax.tree.map(

@@ -80,27 +80,17 @@ def test_train_upper_local_via_trainer(tmp_path, monkeypatch):
     import os
     import unittest.mock as mock
     from mmego_tpu.config import Config
-    from mmego_tpu.data.dataset import WindowData
     from mmego_tpu.checkpoint import store
     from mmego_tpu.models import imu_net
     from mmego_tpu.train import loop
+
+    from _helpers import tiny_windows
 
     rng = np.random.RandomState(5)
     n, l, pts = 6, 4, 16
 
     def _data(n):
-        bones = np.tile(rng.randn(1, 20, 3).astype(np.float32) * 0.2, (n, 1, 1))
-        return WindowData(
-            cloud=rng.randn(n, l, pts, 6).astype(np.float32),
-            key=rng.randn(n, l, 21, 3).astype(np.float32),
-            imu=rng.randn(n, l, 20, 15).astype(np.float32),
-            bones=bones,
-            ground=rng.randn(n, l, 4).astype(np.float32),
-            foot_contact=rng.randn(n, l, 2, 2).astype(np.float32),
-            r_r0r=np.tile(np.eye(3, dtype=np.float32), (n, l, 1, 1)),
-            t_r0r=rng.randn(n, l, 3).astype(np.float32),
-            action=np.zeros(n, np.int32),
-        )
+        return tiny_windows(rng, n, l=l, pts=pts)
 
     cfg = Config(idx=95, frame_no=l, pc_no=pts, lower_pc_no=8, batch_size=4,
                  early_stop_patience=100, save_slot=100, upper_local=True,
