@@ -4,9 +4,11 @@ The reference is single-process, single-device (SURVEY.md §2.9); here
 data-parallel scale-out is first-class and TPU-native: a 1-D
 ``jax.sharding.Mesh`` over a ``data`` axis, batches sharded across it,
 parameters replicated, and gradient reduction left to XLA's GSPMD partitioner
-(collectives ride ICI; no explicit NCCL-analog layer).  A ``model`` axis slot
-is reserved in the axis vocabulary so tensor-parallel shardings can be added
-without API changes, but nothing in these model sizes warrants using it.
+(collectives ride ICI; no explicit NCCL-analog layer).  Tensor parallelism
+over a second ``model`` axis is available via ``make_mesh(..., model=k)`` +
+``place_params`` (policy in parallel/tp.py); nothing in these model sizes
+*needs* it on real hardware -- it is a validated scale-out capability, not
+the single-chip fast path.
 
 Multi-host note: on a multi-host slice, call ``jax.distributed.initialize()``
 before ``make_mesh`` and feed per-host batch shards; the mesh spans all
@@ -49,8 +51,10 @@ def init_multihost(coordinator: Optional[str] = None,
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              devices: Optional[Sequence] = None) -> Mesh:
-    """Build the 1-D data mesh.
+              devices: Optional[Sequence] = None,
+              model: int = 1) -> Mesh:
+    """Build the device mesh: 1-D ``(data,)``, or 2-D ``(data, model)``
+    when ``model > 1`` (tensor parallelism; see parallel/tp.py).
 
     A request for more devices than exist fails loudly: silently shrinking
     would turn every downstream multi-chip check into a false positive (a
@@ -64,6 +68,13 @@ def make_mesh(n_devices: Optional[int] = None,
                 f"device(s) are visible ({devs[0].platform} backend); refusing "
                 "to build a smaller mesh silently")
         devs = devs[:n_devices]
+    if model > 1:
+        if len(devs) % model:
+            raise ValueError(
+                f"cannot fold a model axis of {model} into {len(devs)} "
+                "device(s) (not divisible)")
+        arr = np.asarray(devs).reshape(len(devs) // model, model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
     return Mesh(np.asarray(devs), (DATA_AXIS,))
 
 
@@ -85,6 +96,16 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+
+
+def place_params(mesh: Mesh, tree):
+    """Place a parameter-like pytree for this mesh: replicated on a
+    data-only mesh, feature-axis sharded (parallel/tp.py policy) when the
+    mesh has a non-trivial ``model`` axis."""
+    from . import tp
+    if tp.model_axis_size(mesh) > 1:
+        return tp.shard_tree(mesh, tree)
+    return replicate(mesh, tree)
 
 
 def pad_leading(x, n: int):

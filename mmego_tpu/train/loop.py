@@ -144,11 +144,21 @@ def _EVAL_RNG():
 
 
 def _data_mesh():
-    """Data-parallel mesh across all local devices (None when single-device:
+    """Training mesh across all local devices (None when single-device:
     the common one-chip case needs no sharding machinery).  MMEGO_DP=off
-    forces single-device training regardless of visible devices."""
+    forces single-device training regardless of visible devices.
+
+    MMEGO_TP=k (k>1) folds a ``model`` axis of size k into the mesh --
+    dp x tp over all visible devices, parameters feature-sharded by
+    parallel/tp.py and batches sharded over the remaining ``data`` axis.
+    The Pallas kernels are opaque to the GSPMD partitioner, so TP defaults
+    ``MMEGO_PALLAS`` to off (an explicit user setting wins)."""
     if os.environ.get("MMEGO_DP", "auto") == "off":
         return None
+    tp = int(os.environ.get("MMEGO_TP", "1") or "1")
+    if tp > 1:
+        os.environ.setdefault("MMEGO_PALLAS", "0")
+        return mesh_mod.make_mesh(model=tp)
     return mesh_mod.make_mesh() if jax.device_count() > 1 else None
 
 
@@ -167,7 +177,7 @@ def _shard(mesh, arrays, w):
     """
     if mesh is None:
         return arrays, w
-    n_dev = mesh.devices.size
+    n_dev = dict(mesh.shape)[mesh_mod.DATA_AXIS]  # batch splits over data only
     rem = (-arrays[0].shape[0]) % n_dev
     if rem:
         target = arrays[0].shape[0] + rem
@@ -262,7 +272,7 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         # resume semantics (Train_IMU.py:52-53)
         params = jax.device_put(_load_imu_params(cfg))
     if mesh is not None:
-        params = mesh_mod.replicate(mesh, params)
+        params = mesh_mod.place_params(mesh, params)
     tx = _optimizer(cfg.lr, weight_decay=1e-3)
     opt_state = tx.init(params)
 
@@ -388,8 +398,8 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
     mesh = _data_mesh()
     params, state = jax.device_put((params, state))
     if mesh is not None:
-        params, state = mesh_mod.replicate(mesh, (params, state))
-        imu_params = mesh_mod.replicate(mesh, imu_params)
+        params, state = mesh_mod.place_params(mesh, (params, state))
+        imu_params = mesh_mod.place_params(mesh, imu_params)
     tx = _optimizer(cfg.lr)
     opt_state = tx.init(params)
     upper_map = jnp.asarray(UPPER_JOINT_MAP)
@@ -516,8 +526,8 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
     params, state = jax.device_put((params, state))
     frozen = jax.device_put((imu_params, upper_params, upper_state))
     if mesh is not None:
-        params, state = mesh_mod.replicate(mesh, (params, state))
-        frozen = mesh_mod.replicate(mesh, frozen)
+        params, state = mesh_mod.place_params(mesh, (params, state))
+        frozen = mesh_mod.place_params(mesh, frozen)
     tx = _optimizer(cfg.lr)
     opt_state = tx.init(params)
     lower_map = jnp.asarray(LOWER_JOINT_MAP)

@@ -83,6 +83,69 @@ def test_make_mesh_refuses_short():
 
 
 # ---------------------------------------------------------------------------
+# Tensor parallelism (parallel/tp.py)
+# ---------------------------------------------------------------------------
+
+def test_tp_spec_rule():
+    """Shape-based placement: last divisible axis sharded, else fall back
+    leftward, else replicate."""
+    from jax.sharding import PartitionSpec as P
+    from mmego_tpu.parallel import tp
+
+    assert tp.spec_for((64, 256), 2) == P(None, "model")   # LSTM wi/wh
+    assert tp.spec_for((256,), 2) == P("model")            # gate bias
+    assert tp.spec_for((128, 87), 2) == P("model")         # head: row-parallel
+    assert tp.spec_for((87,), 2) == P()                    # indivisible 1-D
+    assert tp.spec_for((1,), 2) == P()                     # attn scalar bias
+    assert tp.spec_for((), 2) == P()                       # optax count
+    assert tp.spec_for((64, 256), 1) == P()                # tp off
+
+
+def test_tp_mesh_and_shard_tree():
+    """make_mesh(model=2) folds a model axis; shard_tree actually splits
+    feature axes (not a silent replicate)."""
+    from mmego_tpu.parallel import tp
+
+    mesh = mesh_mod.make_mesh(8, model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    with pytest.raises(ValueError, match="divisible"):
+        mesh_mod.make_mesh(7, model=2)
+
+    tree = {"wi": jnp.zeros((16, 64)), "b": jnp.zeros((64,)),
+            "odd": jnp.zeros((3,))}
+    st = tp.shard_tree(mesh, tree)
+    assert st["wi"].addressable_shards[0].data.shape == (16, 32)
+    assert st["b"].addressable_shards[0].data.shape == (32,)
+    assert st["odd"].addressable_shards[0].data.shape == (3,)
+
+
+def test_tp_grad_matches_single_device():
+    """Loss + grad with the weight model-sharded on a 4x2 mesh must equal
+    the single-device result (GSPMD inserts the TP collectives)."""
+    from mmego_tpu.parallel import tp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = mesh_mod.make_mesh(8, model=2)
+    rng = np.random.RandomState(0)
+    w0 = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    x = rng.randn(32, 16).astype(np.float32)
+    y = rng.randn(32, 8).astype(np.float32)
+
+    def loss(w, x, y):
+        return jnp.sum((x @ w - y) ** 2)
+
+    g_single = jax.grad(loss)(w0, jnp.asarray(x), jnp.asarray(y))
+
+    put_b = lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P("data")))
+    ws = tp.shard_tree(mesh, w0)
+    assert ws.addressable_shards[0].data.shape == (16, 4)
+    g_tp = jax.jit(jax.grad(loss))(ws, put_b(x), put_b(y))
+    np.testing.assert_allclose(np.asarray(g_tp), np.asarray(g_single),
+                               rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
 # DP engagement on a real stage trainer
 # ---------------------------------------------------------------------------
 
@@ -118,9 +181,12 @@ def _tiny_world(tmp_path, monkeypatch, batch_size, n_train=16):
     return cfg, small
 
 
-def _train_upper_params(cfg, small_imu, dp: bool, monkeypatch):
+def _train_upper_params(cfg, small_imu, mode: str, monkeypatch):
+    """mode: 'dp' (8-device data mesh), 'off' (single device), or 'tp'
+    (4x2 dp x tp mesh via MMEGO_TP=2)."""
     from mmego_tpu.train import loop
-    monkeypatch.setenv("MMEGO_DP", "auto" if dp else "off")
+    monkeypatch.setenv("MMEGO_DP", "off" if mode == "off" else "auto")
+    monkeypatch.setenv("MMEGO_TP", "2" if mode == "tp" else "1")
     with small_imu:
         (params, _), _ = loop.train_upper(cfg, max_epochs=1, verbose=False)
     return jax.device_get(params)
@@ -132,14 +198,19 @@ def test_train_upper_dp_matches_single_device(tmp_path, monkeypatch):
     with the single-device run: same data order, same rng keys, only the
     gradient reduction differs (GSPMD psum vs on-device sum)."""
     cfg, small = _tiny_world(tmp_path, monkeypatch, batch_size=8)
-    p_dp = _train_upper_params(cfg.replace(idx=91), small, True, monkeypatch)
-    p_sd = _train_upper_params(cfg.replace(idx=92), small, False, monkeypatch)
-    flat_dp = jax.tree.leaves(p_dp)
+    p_sd = _train_upper_params(cfg.replace(idx=92), small, "off", monkeypatch)
     flat_sd = jax.tree.leaves(p_sd)
-    assert len(flat_dp) == len(flat_sd)
-    for a, b in zip(flat_dp, flat_sd):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=2e-4, atol=2e-4)
+    # MMEGO_TP=2 additionally covers parallel/tp.py: a 4x2 dp x tp mesh
+    # with feature-sharded parameters -- the TP collectives GSPMD inserts
+    # may never change the math either.
+    for mode, idx in (("dp", 91), ("tp", 94)):
+        p = _train_upper_params(cfg.replace(idx=idx), small, mode,
+                                monkeypatch)
+        flat = jax.tree.leaves(p)
+        assert len(flat) == len(flat_sd)
+        for a, b in zip(flat, flat_sd):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4, err_msg=mode)
 
 
 @pytest.mark.slow
