@@ -13,9 +13,16 @@ import os
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in xla_flags:
+    # O0 codegen: the suite is COMPILE-bound on this 1-core host (a cold
+    # run spends ~2/3 of its wall time in LLVM), and at test shapes the
+    # unoptimized code is not measurably slower to RUN (A/B on the heaviest
+    # trainer test: cold 178s -> 88s, warm 29s -> 23s).  Production TPU
+    # paths never see this flag -- it is test-harness-only.
+    xla_flags = (xla_flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = xla_flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
