@@ -151,14 +151,17 @@ def _data_mesh():
     MMEGO_TP=k (k>1) folds a ``model`` axis of size k into the mesh --
     dp x tp over all visible devices, parameters feature-sharded by
     parallel/tp.py and batches sharded over the remaining ``data`` axis.
-    The Pallas kernels are opaque to the GSPMD partitioner, so TP defaults
-    ``MMEGO_PALLAS`` to off (an explicit user setting wins)."""
-    if os.environ.get("MMEGO_DP", "auto") == "off":
-        return None
+    With MMEGO_DP=off that becomes pure TP: a (1, k) mesh over exactly k
+    devices (batches whole, parameters sharded).  The Pallas kernels are
+    opaque to the GSPMD partitioner, so TP defaults ``MMEGO_PALLAS`` to
+    off (an explicit user setting wins)."""
+    dp_off = os.environ.get("MMEGO_DP", "auto") == "off"
     tp = int(os.environ.get("MMEGO_TP", "1") or "1")
     if tp > 1:
         os.environ.setdefault("MMEGO_PALLAS", "0")
-        return mesh_mod.make_mesh(model=tp)
+        return mesh_mod.make_mesh(n_devices=tp if dp_off else None, model=tp)
+    if dp_off:
+        return None
     return mesh_mod.make_mesh() if jax.device_count() > 1 else None
 
 

@@ -1,5 +1,7 @@
 """Multi-device data-parallel tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -119,6 +121,28 @@ def test_tp_mesh_and_shard_tree():
     assert st["odd"].addressable_shards[0].data.shape == (3,)
 
 
+def test_data_mesh_env_matrix(monkeypatch):
+    """_data_mesh honors the MMEGO_DP x MMEGO_TP matrix: dp-only (1-D),
+    dp x tp (2-D over all devices), pure tp (1 x k over exactly k), off."""
+    from mmego_tpu.train import loop
+
+    # pin so _data_mesh's os.environ.setdefault is restored by monkeypatch
+    monkeypatch.setenv("MMEGO_PALLAS", "0")
+
+    monkeypatch.setenv("MMEGO_DP", "auto")
+    monkeypatch.setenv("MMEGO_TP", "1")
+    assert dict(loop._data_mesh().shape) == {"data": 8}
+
+    monkeypatch.setenv("MMEGO_TP", "2")
+    assert dict(loop._data_mesh().shape) == {"data": 4, "model": 2}
+
+    monkeypatch.setenv("MMEGO_DP", "off")
+    assert dict(loop._data_mesh().shape) == {"data": 1, "model": 2}
+
+    monkeypatch.setenv("MMEGO_TP", "1")
+    assert loop._data_mesh() is None
+
+
 def test_tp_grad_matches_single_device():
     """Loss + grad with the weight model-sharded on a 4x2 mesh must equal
     the single-device result (GSPMD inserts the TP collectives)."""
@@ -187,6 +211,9 @@ def _train_upper_params(cfg, small_imu, mode: str, monkeypatch):
     from mmego_tpu.train import loop
     monkeypatch.setenv("MMEGO_DP", "off" if mode == "off" else "auto")
     monkeypatch.setenv("MMEGO_TP", "2" if mode == "tp" else "1")
+    # pin so _data_mesh's os.environ.setdefault("MMEGO_PALLAS", ...) in tp
+    # mode is unwound with the monkeypatch instead of leaking suite-wide
+    monkeypatch.setenv("MMEGO_PALLAS", os.environ.get("MMEGO_PALLAS", "0"))
     with small_imu:
         (params, _), _ = loop.train_upper(cfg, max_epochs=1, verbose=False)
     return jax.device_get(params)
