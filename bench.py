@@ -79,14 +79,17 @@ def train_bench() -> dict:
 
     Each stage runs ``EPOCHS`` full epochs (668 train windows + 167 eval
     windows, batch 20, device-resident data) from its normal entry point;
-    the first epoch absorbs compiles and is discarded, the minimum of the
-    rest is reported (same best-of policy as the inference line: the
-    tunneled backend sporadically stalls a fetch for seconds).
+    the first epoch absorbs compiles and is discarded, the MEDIAN of the
+    rest is reported (round-3 used min-of-2, which inherited the tunnel's
+    per-epoch fetch jitter -- a median over more epochs is stable across
+    consecutive runs; the min rides along per stage for best-case context).
     """
+    import statistics
+
     from mmego_tpu.config import Config
     from mmego_tpu.train import loop
 
-    EPOCHS = 3
+    EPOCHS = 6
     stages = {}
     for name, fn, idx in (("imu", loop.train_imu, 9801),
                           ("upper", loop.train_upper, 9802),
@@ -94,7 +97,9 @@ def train_bench() -> dict:
         times = []
         cfg = Config(idx=idx, save_best=False)
         fn(cfg, verbose=False, max_epochs=EPOCHS, timings=times)
-        stages[f"{name}_s"] = round(min(times[1:]), 3)
+        steady = times[1:] or times[-1:]  # early stop can end a stage at 1
+        stages[f"{name}_s"] = round(statistics.median(steady), 3)
+        stages[f"{name}_min_s"] = round(min(steady), 3)
     return stages
 
 
@@ -137,7 +142,8 @@ def main(argv):
 
     if "--train" in argv:
         stages = train_bench()
-        total = round(sum(stages.values()), 3)
+        total = round(sum(v for k, v in stages.items()
+                          if not k.endswith("_min_s")), 3)
         print(json.dumps({
             "metric": "train_epoch_time_all_stages",
             "value": total,
@@ -153,7 +159,10 @@ def main(argv):
     # passes because the tunneled backend sporadically stalls a host fetch
     # for seconds-to-minutes (docs/PERFORMANCE.md) -- best-of absorbs the
     # outliers; each pass is ~0.1 s of device time.
+    import statistics
+
     best = None
+    rates = {}  # batch -> list of per-pass it/s (for the median field)
     # CPU fallback: ONE timed pass at batch 167 with a first-batch-only
     # compile warmup (a full CPU pass is ~3 min; the best-of-5 x 2-batch
     # sweep only matters for tunnel-jitter absorption).
@@ -164,6 +173,7 @@ def main(argv):
                                return_preds=False,
                                full_warmup=not fallback)
             m["batch"] = batch
+            rates.setdefault(batch, []).append(m["it_per_s"])
             if best is None or m["it_per_s"] > best["it_per_s"]:
                 best = m
 
@@ -172,6 +182,10 @@ def main(argv):
         "value": round(best["it_per_s"], 2),
         "unit": "it/s",
         "vs_baseline": round(best["it_per_s"] / BASELINE_IT_S, 2),
+        # median of the winning batch's passes: the reproducible companion
+        # to the best-of headline (two consecutive runs should agree on it
+        # within ~5% even when the tunnel stalls an outlier pass)
+        "median_it_s": round(statistics.median(rates[best["batch"]]), 2),
         **fallback,
     }
     print(json.dumps(result))
@@ -188,7 +202,8 @@ def main(argv):
         return 0
     try:
         stages = train_bench()
-        total = round(sum(stages.values()), 3)
+        total = round(sum(v for k, v in stages.items()
+                          if not k.endswith("_min_s")), 3)
         print(json.dumps({
             "metric": "train_epoch_time_all_stages", "value": total,
             "unit": "s (sum of one epoch per stage: train+eval, 835 windows)",

@@ -8,6 +8,7 @@ The 835-window demo set is processed in ceil(835/infer_batch) dispatches.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Dict, Optional, Tuple
@@ -18,6 +19,7 @@ import jax.numpy as jnp
 
 from mmego_tpu.config import Config
 from mmego_tpu.data import dataset as dataset_mod
+from mmego_tpu.ops import pallas_ctl
 from mmego_tpu.parallel import mesh as mesh_mod
 from mmego_tpu.models import cascade, imu_net, upper_net, lower_net
 from mmego_tpu.checkpoint import store, torch_import
@@ -239,6 +241,10 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
              full_warmup: bool = True) -> Dict:
     """The full --infer evaluation: metrics block + throughput.
 
+    With more than one visible device (and ``MMEGO_DP`` != "off") the
+    window batches shard over a 1-D data mesh; metrics are identical to the
+    single-device run (tests/test_sharding.py::test_evaluate_dp_*).
+
     ``full_warmup=False`` warms the compile with one batch dispatch instead
     of a whole-set pass -- for CPU-fallback benchmarking, where a full pass
     costs minutes and compile exclusion only needs the program built.
@@ -246,7 +252,9 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
     ``return_preds=True`` additionally materialises every window's joint
     predictions via a SECOND compiled program (metrics-free cascade) and a
     full extra pass over the set -- off by default; metrics alone need one
-    program and no bulk D2H.
+    program and no bulk D2H.  (Default CHANGED in round 3: it was ``True``
+    through round 2 -- callers that relied on ``"preds"``/``"gt"`` in the
+    returned dict must now pass ``return_preds=True`` explicitly.)
 
     The whole window set is pushed to HBM once; the timed region covers, per
     device batch, the full cascade + on-device metric accumulation + the D2H
@@ -263,8 +271,21 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
     if params is None:
         params, state = load_cascade_params(cfg)
 
+    # Data-parallel eval: with more than one visible device (and MMEGO_DP
+    # not "off") the window batches shard over a 1-D data mesh -- the same
+    # GSPMD recipe as the trainers (parallel/mesh.py), params replicated,
+    # the packed metric accumulation psum'd by the partitioner.  The
+    # reference has no counterpart (single-device, Config/config.py:31-34);
+    # the common one-chip case takes the mesh-free path below unchanged.
+    mesh = None
+    if os.environ.get("MMEGO_DP", "auto") != "off" and jax.device_count() > 1:
+        mesh = mesh_mod.make_mesh()
+
     n = len(data)
     batch = min(batch or cfg.infer_batch, n)
+    if mesh is not None:
+        n_dev = dict(mesh.shape)[mesh_mod.DATA_AXIS]
+        batch = -(-batch // n_dev) * n_dev  # device multiple; w masks pad
     padded = -(-n // batch) * batch
 
     # Device-resident inputs, padded once to a batch multiple.
@@ -276,21 +297,39 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
     w_np[:n] = 1.0
     w_d = jnp.asarray(w_np)
 
+    if mesh is not None:
+        s = mesh_mod.batch_sharding(mesh)
+        cloud_d, imu_d, bones_d, key_d, w_d = (
+            jax.device_put(a, s) for a in
+            (cloud_d, imu_d, bones_d, key_d, w_d))
+        params, state = mesh_mod.place_params(mesh, (params, state))
+
+    # Pallas kernels are opaque to the GSPMD partitioner: mesh dispatches
+    # trace the XLA scan path (same rule as train.loop._tp_scoped), scoped
+    # so single-device work in the process keeps its kernel fast path.
+    # (A factory: generator-based context managers are single-use, and the
+    # scope is entered once per pass.)
+    def kernel_scope():
+        return (pallas_ctl.default_override(False) if mesh is not None
+                else contextlib.nullcontext())
+
     def run_all():
         # Async dispatch chain: each batch adds its packed metric sums into
         # the (donated) accumulator; the single host fetch at the end both
         # forces completion of every batch and pays the tunnel round trip
         # exactly once.
         acc = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
-        for start in range(0, padded, batch):
-            sl = slice(start, start + batch)
-            # whole-set batches skip the slice: x[0:n] of an n-row device
-            # array still dispatches a full-size device copy (~480 MB of
-            # cloud, ~1.2 ms/pass measured in the cascade profile)
-            take = (lambda a: a) if batch == padded else (lambda a: a[sl])
-            acc = _cascade_metrics_acc_jit(
-                params, state, take(cloud_d), take(imu_d), take(bones_d),
-                take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc)
+        with kernel_scope():
+            for start in range(0, padded, batch):
+                sl = slice(start, start + batch)
+                # whole-set batches skip the slice: x[0:n] of an n-row
+                # device array still dispatches a full-size device copy
+                # (~480 MB of cloud, ~1.2 ms/pass in the cascade profile)
+                take = (lambda a: a) if batch == padded else (lambda a: a[sl])
+                acc = _cascade_metrics_acc_jit(
+                    params, state, take(cloud_d), take(imu_d), take(bones_d),
+                    take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used,
+                    acc)
         return metrics_mod.unpack_metric_sums(np.asarray(acc))
 
     if full_warmup:
@@ -299,9 +338,10 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         acc = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
         sl = slice(0, batch)
         take = (lambda a: a) if batch == padded else (lambda a: a[sl])
-        np.asarray(_cascade_metrics_acc_jit(    # fetch forces completion
-            params, state, take(cloud_d), take(imu_d), take(bones_d),
-            take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc))
+        with kernel_scope():
+            np.asarray(_cascade_metrics_acc_jit(  # fetch forces completion
+                params, state, take(cloud_d), take(imu_d), take(bones_d),
+                take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc))
     t0 = time.perf_counter()
     sums = run_all()
     elapsed = time.perf_counter() - t0

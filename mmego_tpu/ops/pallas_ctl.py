@@ -15,6 +15,9 @@ Resolution order:
      mode; the CPU cross-check force-disables),
   2. the per-op ``MMEGO_PALLAS_<OP>`` env var ("1"/"0" -- A/B a single op),
   3. the ``MMEGO_PALLAS`` env var ("1"/"0" -- applies to every op),
+  3b. an active ``default_override(...)`` context (replaces the per-op
+     defaults without beating an explicit user env setting; the TP trainers
+     scope kernels off with it),
   4. per-op default.  ``lstm`` (ops/pallas_lstm.fused_stack) is ON for a real
      TPU backend: measured 1.56x over the XLA scan on the dominant stage.
      ``attn``/``gcn`` are OFF: their ops are bandwidth-trivial at this
@@ -39,6 +42,15 @@ _OVERRIDE: contextvars.ContextVar[tuple] = contextvars.ContextVar(
 _OP_DEFAULT_ON = {"lstm": True, "attn": False, "gcn": False, "tcn": False,
                   "xattn": False}
 
+# Weaker than env vars: a scope that replaces the built-in per-op defaults
+# (resolution step 4) without overriding an explicit user setting.  The TP
+# trainers use it to default kernels off while tracing GSPMD-sharded steps
+# (Pallas calls are opaque to the partitioner) -- scoped, unlike the old
+# ``os.environ.setdefault("MMEGO_PALLAS", "0")``, which leaked the off
+# default into later single-device inference in the same process.
+_DEFAULT_OVERRIDE: contextvars.ContextVar[tuple] = contextvars.ContextVar(
+    "mmego_pallas_default_override", default=())
+
 
 def enabled(op: str = "lstm") -> bool:
     stack = _OVERRIDE.get()
@@ -55,6 +67,9 @@ def enabled(op: str = "lstm") -> bool:
     env = os.environ.get("MMEGO_PALLAS")
     if env is not None:
         return env == "1" and on_tpu
+    dstack = _DEFAULT_OVERRIDE.get()
+    if dstack:
+        return dstack[-1] and on_tpu
     return on_tpu and _OP_DEFAULT_ON.get(op, False)
 
 
@@ -65,3 +80,14 @@ def override(value: bool):
         yield
     finally:
         _OVERRIDE.reset(token)
+
+
+@contextlib.contextmanager
+def default_override(value: bool):
+    """Replace the per-op defaults within the scope; env vars and
+    ``override`` still win (see module docstring's resolution order)."""
+    token = _DEFAULT_OVERRIDE.set(_DEFAULT_OVERRIDE.get() + (bool(value),))
+    try:
+        yield
+    finally:
+        _DEFAULT_OVERRIDE.reset(token)

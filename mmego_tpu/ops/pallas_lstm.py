@@ -418,9 +418,15 @@ def _fused_pipe_kernel(*refs, n_in: int, hidden: int, steps: int,
             # (BB, H) @ (H, 1) dot per step, accumulated into a (BB, 128)
             # scratch time-matrix (one-hot column select -- a lane-1 output
             # stream per step measured SLOWER) and emitted once per block.
-            # Saves the post-hoc read pass over the stack output.
-            contrib = jnp.dot(h.astype(jnp.bfloat16), aw_ref[:],
-                              preferred_element_type=jnp.float32)  # (BB, 1)
+            # Saves the post-hoc read pass over the stack output.  Numerics
+            # track the v2 post-hoc einsum exactly: h rounded to bf16 (v2
+            # reads the bf16 stack output) then a f32 dot with the f32 pool
+            # weight (r3 shipped a bf16 aw here, giving batch-size-dependent
+            # logits across paths -- the (H, 1) dot is VPU-negligible, so
+            # f32 costs nothing).
+            contrib = jnp.dot(
+                h.astype(jnp.bfloat16).astype(jnp.float32), aw_ref[:],
+                preferred_element_type=jnp.float32)  # (BB, 1)
             col = (jax.lax.broadcasted_iota(jnp.int32, (1, LOGIT_LANES), 1)
                    == s - 1).astype(jnp.float32)
             l_ref[:] = l_ref[:] + contrib * col
@@ -491,7 +497,7 @@ def _fused_pipe_direction(p: dict, xs, reverse: bool, block_b: int,
                 f"in-kernel logit scratch holds {LOGIT_LANES} steps, got {t}")
         in_specs.append(pl.BlockSpec((hidden, 1), resident,
                                      memory_space=pltpu.VMEM))
-        operands.append(attn_w.astype(jnp.bfloat16))
+        operands.append(attn_w.astype(jnp.float32))
         # per-block (BB, 128) logit time-matrix, emitted once per block
         out_specs = [out_specs,
                      pl.BlockSpec((1, block_b, LOGIT_LANES),

@@ -33,16 +33,27 @@ Because every rule is shape-based, the SAME policy places optimizer state
 (Adam's ``mu``/``nu`` mirror the parameter shapes) and BatchNorm running
 stats without introspecting optax or model internals.
 
+The heuristic can be OVERRIDDEN per leaf: ``shard_tree(..., rules=[...])``
+takes ordered ``(path_regex, PartitionSpec)`` pairs matched (``re.search``)
+against the leaf's ``jax.tree_util.keystr`` path; the first hit wins over
+``spec_for``.  This is the escape hatch for a future layer whose batch-like
+axis happens to be divisible (the shape heuristic would silently
+feature-shard it): pin it with ``(r"that_layer/w", P())``.
+
 Caveat: the hand-written Pallas kernels (ops/pallas_lstm.py) are opaque to
-the partitioner -- TP runs the XLA scan path.  ``train.loop._data_mesh``
-defaults ``MMEGO_PALLAS`` to off when ``MMEGO_TP>1`` (an explicit user
-setting wins).  At this model family's sizes TP is a scale-out *capability*
+the partitioner -- TP runs the XLA scan path.  ``train.loop._tp_scoped``
+wraps each jitted step in a kernels-off ``pallas_ctl.default_override``
+scope when the mesh carries a model axis (an explicit user env setting
+wins).  At this model family's sizes TP is a scale-out *capability*
 (validated for numerics on the virtual mesh and by ``dryrun_multichip``'s
 TP phase), not a single-chip win -- the README's perf numbers are
 single-chip and do not use it.
 """
 
 from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -66,13 +77,29 @@ def spec_for(shape, n_model: int) -> P:
     return P()
 
 
-def shard_tree(mesh: Mesh, tree):
-    """Place every leaf of a parameter-like pytree (params, optimizer
-    state, BN running stats) according to ``spec_for``."""
-    n_model = model_axis_size(mesh)
+Rules = Sequence[Tuple[str, P]]
 
-    def place(x):
-        spec = spec_for(getattr(x, "shape", ()), n_model)
+
+def shard_tree(mesh: Mesh, tree, rules: Optional[Rules] = None):
+    """Place every leaf of a parameter-like pytree (params, optimizer
+    state, BN running stats) according to ``spec_for``, except leaves whose
+    ``keystr`` path matches a ``rules`` regex -- those take the rule's
+    PartitionSpec verbatim (first match wins).  Paths look like
+    ``"['fast'][0]['fwd']['wi']"``; a rule regex only needs to hit a
+    distinctive fragment (e.g. ``r"fwd.*wi"``)."""
+    n_model = model_axis_size(mesh)
+    compiled = [(re.compile(pat), spec) for pat, spec in (rules or ())]
+
+    def place(path, x):
+        spec = None
+        if compiled:
+            key = jax.tree_util.keystr(path)
+            for pat, s in compiled:
+                if pat.search(key):
+                    spec = s
+                    break
+        if spec is None:
+            spec = spec_for(getattr(x, "shape", ()), n_model)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
-    return jax.tree.map(place, tree)
+    return jax.tree_util.tree_map_with_path(place, tree)

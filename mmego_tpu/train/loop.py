@@ -32,6 +32,7 @@ from mmego_tpu.config import Config, UPPER_JOINT_MAP, LOWER_JOINT_MAP
 from mmego_tpu.data import dataset as dataset_mod
 from mmego_tpu.models import imu_net, upper_net, lower_net
 from mmego_tpu.checkpoint import store, torch_import
+from mmego_tpu.ops import pallas_ctl
 from mmego_tpu.parallel import mesh as mesh_mod
 from mmego_tpu.train import losses
 from mmego_tpu.utils.early_stopping import EarlyStopping
@@ -153,16 +154,35 @@ def _data_mesh():
     parallel/tp.py and batches sharded over the remaining ``data`` axis.
     With MMEGO_DP=off that becomes pure TP: a (1, k) mesh over exactly k
     devices (batches whole, parameters sharded).  The Pallas kernels are
-    opaque to the GSPMD partitioner, so TP defaults ``MMEGO_PALLAS`` to
-    off (an explicit user setting wins)."""
+    opaque to the GSPMD partitioner, so steps traced under a model axis
+    run with kernels defaulted off -- scoped per step via
+    :func:`_tp_scoped` (an explicit user env setting still wins), never by
+    mutating process env."""
     dp_off = os.environ.get("MMEGO_DP", "auto") == "off"
     tp = int(os.environ.get("MMEGO_TP", "1") or "1")
     if tp > 1:
-        os.environ.setdefault("MMEGO_PALLAS", "0")
         return mesh_mod.make_mesh(n_devices=tp if dp_off else None, model=tp)
     if dp_off:
         return None
     return mesh_mod.make_mesh() if jax.device_count() > 1 else None
+
+
+def _tp_scoped(mesh, fn):
+    """Wrap a jitted step so it traces (and runs) with Pallas kernels
+    defaulted OFF when the mesh carries a real ``model`` axis: kernel calls
+    are opaque to the GSPMD partitioner, so feature-sharded parameters must
+    flow through the XLA scan path.  The scope ends with each call -- later
+    single-device work in the same process keeps its kernel fast path
+    (previously this was an ``os.environ.setdefault`` that leaked
+    process-wide; ADVICE r3).  ``pallas_ctl`` env settings still win inside
+    the scope, preserving the explicit-user-override contract."""
+    if mesh is None or dict(mesh.shape).get(mesh_mod.MODEL_AXIS, 1) <= 1:
+        return fn
+
+    def wrapped(*args):
+        with pallas_ctl.default_override(False):
+            return fn(*args)
+    return wrapped
 
 
 def _shard(mesh, arrays, w):
@@ -306,6 +326,9 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         return acc + jnp.stack([loss / jnp.sum(w) / denom_tr,
                                 jnp.float32(1.0)])
 
+    train_step = _tp_scoped(mesh, train_step)
+    eval_step = _tp_scoped(mesh, eval_step)
+
     fields = ("imu", "key", "r_r0r")
     train, test = _Resident(train, fields), _Resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
@@ -441,6 +464,9 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             [jnp.stack([loss / jnp.sum(w) / cfg.frame_no,
                         jnp.float32(1.0)]), per_joint, n[None]])
 
+    train_step = _tp_scoped(mesh, train_step)
+    eval_step = _tp_scoped(mesh, eval_step)
+
     fields = ("cloud", "key", "imu", "bones")
     train, test = _Resident(train, fields), _Resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
@@ -573,6 +599,9 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         return acc + jnp.concatenate(
             [jnp.stack([loss / jnp.sum(w) / cfg.frame_no,
                         jnp.float32(1.0)]), per_joint, n[None]])
+
+    train_step = _tp_scoped(mesh, train_step)
+    eval_step = _tp_scoped(mesh, eval_step)
 
     fields = ("cloud", "key", "imu", "bones")
     train, test = _Resident(train, fields), _Resident(test, fields)

@@ -63,7 +63,8 @@ def _default_probe(timeout_s: float):
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
     except subprocess.TimeoutExpired:
         return None
-    return r.stdout.strip().splitlines()[-1] if r.returncode == 0 else None
+    lines = r.stdout.strip().splitlines()
+    return lines[-1] if r.returncode == 0 and lines else None
 
 
 def _pin_cpu() -> None:
@@ -75,7 +76,8 @@ def _pin_cpu() -> None:
         pass  # backends already up in-process; selection already happened
 
 
-def ensure_reachable_backend(timeout_s: float = 120.0, probe=None):
+def ensure_reachable_backend(timeout_s: float = 240.0, probe=None,
+                             retries: int = 1, retry_delay_s: float = 30.0):
     """Fall back to CPU when the ambient accelerator backend is unreachable.
 
     The deployment tunnel to the TPU chip sporadically goes down for hours;
@@ -91,19 +93,31 @@ def ensure_reachable_backend(timeout_s: float = 120.0, probe=None):
     * probe round trip succeeds within ``timeout_s`` -> the platform the
       probe actually ran on and ``"probed"`` (normal operation; also how a
       plugin-less dev box is honestly reported as ``("cpu", "probed")``).
-    * probe fails/times out -> pins ``jax_platforms`` to CPU in THIS
-      process and returns ``("cpu", "unreachable")`` so callers annotate
-      published numbers as outage fallback.
+    * probe fails/times out -> retried ``retries`` more times after
+      ``retry_delay_s`` each (a transient tunnel blip should not forfeit a
+      whole round's accelerator artifact); only after every attempt fails
+      is ``jax_platforms`` pinned to CPU in THIS process and
+      ``("cpu", "unreachable")`` returned so callers annotate published
+      numbers as outage fallback.
+
+    ``timeout_s`` defaults to 240 s because a cold backend init through the
+    tunnel measures ~120 s even when healthy (round 4 measurement; the old
+    120 s default raced it and lost, costing round 3 its TPU capture).
 
     ``probe`` is injectable for tests; the default runs one tiny device
     round trip in a killable subprocess (see :func:`_default_probe`).
     The reference has no analogue (local CUDA; no tunnel to lose).
     """
+    import time
+
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         _pin_cpu()
         return "cpu", "requested"
-    got = (probe or _default_probe)(timeout_s)
-    if got:
-        return got, "probed"
+    for attempt in range(1 + max(0, retries)):
+        if attempt:
+            time.sleep(retry_delay_s)
+        got = (probe or _default_probe)(timeout_s)
+        if got:
+            return got, "probed"
     _pin_cpu()
     return "cpu", "unreachable"

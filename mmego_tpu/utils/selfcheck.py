@@ -38,6 +38,60 @@ def batch_invariance(params, state, data, batch: int, probe: int = 16,
     return dev
 
 
+def _cpu_reference_outputs(params, state, sub, lower_pc_no, imu_used):
+    """Cascade outputs for the probe windows on the host CPU backend.
+
+    In-process when the CPU backend is registered (tests, fallback runs).
+    Under the deployment env's ``JAX_PLATFORMS=axon`` the CPU backend
+    CANNOT be registered in this process (the axon shim hangs backend init
+    for any other platform list), so the reference is recomputed in a
+    ``JAX_PLATFORMS=cpu`` child via utils/selfcheck_child.py -- one .npz
+    out, one back."""
+    from mmego_tpu.models import cascade
+    from mmego_tpu.ops import pallas_ctl
+
+    host_p = jax.device_get(params)
+    host_s = jax.device_get(state)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        import os
+        import subprocess
+        import tempfile
+
+        from mmego_tpu.checkpoint import store
+
+        repo = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.pathsep.join(
+                       [repo, os.environ.get("PYTHONPATH", "")]))
+        with tempfile.TemporaryDirectory(prefix="mmego_selfcheck_") as td:
+            in_path = os.path.join(td, "in.npz")
+            out_path = os.path.join(td, "out.npz")
+            store.save(in_path, {
+                "params": host_p, "state": host_s,
+                "cloud": np.asarray(sub.cloud), "imu": np.asarray(sub.imu),
+                "bones": np.asarray(sub.bones)})
+            subprocess.run(
+                [sys.executable, "-m", "mmego_tpu.utils.selfcheck_child",
+                 in_path, out_path, str(lower_pc_no),
+                 "1" if imu_used else "0"],
+                env=env, check=True, timeout=600.0, cwd=repo)
+            with np.load(out_path) as d:
+                return {k: d[k] for k in ("upper", "lower", "all")}
+
+    p_cpu, s_cpu = jax.device_put((host_p, host_s), cpu)
+    fn = jax.jit(cascade.cascade_apply, static_argnums=(5, 6), backend="cpu")
+    with pallas_ctl.override(False):     # Mosaic kernels cannot lower for CPU
+        out = fn(p_cpu, s_cpu,
+                 jax.device_put(jnp.asarray(sub.cloud), cpu),
+                 jax.device_put(jnp.asarray(sub.imu), cpu),
+                 jax.device_put(jnp.asarray(sub.bones), cpu),
+                 lower_pc_no, imu_used)
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
 def cpu_crosscheck(params, state, data, probe: int = 8,
                    lower_pc_no: int = 64, imu_used: bool = True) -> Dict:
     """Max deviation of TPU outputs from the CPU backend on probe windows.
@@ -49,24 +103,11 @@ def cpu_crosscheck(params, state, data, probe: int = 8,
     -- gating on it keeps future kernel edits from silently trading accuracy
     for speed."""
     from mmego_tpu import infer
-    from mmego_tpu.models import cascade
 
     sub = data.take(slice(0, probe))
     dev_probe = infer.run_cascade_batched(params, state, sub, probe,
                                           lower_pc_no, imu_used)
-
-    cpu = jax.devices("cpu")[0]
-    host_p = jax.device_get(params)
-    host_s = jax.device_get(state)
-    p_cpu, s_cpu = jax.device_put((host_p, host_s), cpu)
-    fn = jax.jit(cascade.cascade_apply, static_argnums=(5, 6), backend="cpu")
-    from mmego_tpu.ops import pallas_ctl
-    with pallas_ctl.override(False):     # Mosaic kernels cannot lower for CPU
-        out = fn(p_cpu, s_cpu,
-                 jax.device_put(jnp.asarray(sub.cloud), cpu),
-                 jax.device_put(jnp.asarray(sub.imu), cpu),
-                 jax.device_put(jnp.asarray(sub.bones), cpu),
-                 lower_pc_no, imu_used)
+    out = _cpu_reference_outputs(params, state, sub, lower_pc_no, imu_used)
     dev = {k: float(np.abs(dev_probe[k] - np.asarray(out[k])).max())
            for k in ("upper", "lower", "all")}
     dev["max"] = max(dev.values())

@@ -58,6 +58,8 @@ def test_fallback_inference_line(fallback_world, monkeypatch, capsys):
     assert j["metric"] == "cascade_inference_throughput"
     assert j["value"] == 123.4 and j["unit"] == "it/s"
     assert j["vs_baseline"] == round(123.4 / bench.BASELINE_IT_S, 2)
+    # reproducibility companion: median of the winning batch's passes
+    assert j["median_it_s"] == 123.4
     # a CPU number must never be mistaken for an accelerator result
     assert j["platform"] == "cpu" and "note" in j
 

@@ -77,7 +77,24 @@ def test_ensure_reachable_backend_branches(monkeypatch):
     assert plat.ensure_reachable_backend(
         probe=lambda t: "axon") == ("axon", "probed")
     assert plat.ensure_reachable_backend(
-        probe=lambda t: None) == ("cpu", "unreachable")
+        probe=lambda t: None, retries=0) == ("cpu", "unreachable")
+
+    # transient blip: first probe fails, the single retry succeeds -- the
+    # round's accelerator artifact is salvaged instead of pinned to CPU
+    attempts = []
+    def flaky(t):
+        attempts.append(t)
+        return "axon" if len(attempts) > 1 else None
+    assert plat.ensure_reachable_backend(
+        probe=flaky, retry_delay_s=0.0) == ("axon", "probed")
+    assert len(attempts) == 2
+
+    # hard outage: every attempt fails -> CPU pin, bounded attempt count
+    attempts.clear()
+    assert plat.ensure_reachable_backend(
+        probe=lambda t: attempts.append(t), retries=2,
+        retry_delay_s=0.0) == ("cpu", "unreachable")
+    assert len(attempts) == 3
 
     # plugin-less dev box: env unset, JAX silently resolves to CPU -- the
     # probe's reported platform (not reachability) is what gets published

@@ -66,6 +66,30 @@ def test_cpu_crosscheck_metric_gap_field():
         sc.cpu_crosscheck = real
 
 
+def test_cpu_crosscheck_child_process_fallback(monkeypatch):
+    """Under the deployment env (JAX_PLATFORMS=axon) the in-process CPU
+    backend does not exist -- jax.devices("cpu") raises -- and the CPU
+    reference must be recomputed in a JAX_PLATFORMS=cpu child process
+    (utils/selfcheck_child.py).  Here both sides are CPU, so the child's
+    outputs must agree with the in-process path to float-reduction noise."""
+    rng = np.random.RandomState(4)
+    data = _tiny(rng, n=4)
+    params, state = cascade.cascade_init(jax.random.PRNGKey(4))
+
+    orig = jax.devices
+
+    def no_cpu_backend(platform=None):
+        if platform == "cpu":
+            raise RuntimeError("Unknown backend cpu (simulated axon env)")
+        return orig(platform)
+
+    monkeypatch.setattr(jax, "devices", no_cpu_backend)
+    cc = selfcheck.cpu_crosscheck(params, state, data, probe=4,
+                                  lower_pc_no=8)
+    assert cc["max"] < 1e-4
+    assert cc["metric_delta_cm"] < 1e-4
+
+
 def test_kernel_crosscheck_gate():
     """kernel_crosscheck isolates kernel-edit regressions: it is skipped
     (None) off-TPU, and run() must fail when an injected kernel deviation

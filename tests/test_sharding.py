@@ -121,12 +121,35 @@ def test_tp_mesh_and_shard_tree():
     assert st["odd"].addressable_shards[0].data.shape == (3,)
 
 
+def test_tp_per_leaf_rules_beat_shape_heuristic():
+    """The rules escape hatch: a leaf whose batch-like axis is divisible
+    (the heuristic would feature-shard it) is kept replicated by an
+    explicit path rule; unmatched leaves still follow the heuristic, and
+    rule order decides ties (first match wins)."""
+    from jax.sharding import PartitionSpec as P
+    from mmego_tpu.parallel import tp
+
+    mesh = mesh_mod.make_mesh(8, model=2)
+    tree = {"embed": {"table": jnp.zeros((32, 64))},
+            "lstm": {"wi": jnp.zeros((16, 64))}}
+    st = tp.shard_tree(mesh, tree, rules=[(r"embed.*table", P())])
+    # pinned replicated despite a divisible last axis
+    assert st["embed"]["table"].addressable_shards[0].data.shape == (32, 64)
+    # sibling untouched by the rule: heuristic still shards the gate axis
+    assert st["lstm"]["wi"].addressable_shards[0].data.shape == (16, 32)
+
+    # first match wins over a later, broader rule
+    st2 = tp.shard_tree(
+        mesh, tree, rules=[(r"wi", P("model", None)), (r".", P())])
+    assert st2["lstm"]["wi"].addressable_shards[0].data.shape == (8, 64)
+    assert st2["embed"]["table"].addressable_shards[0].data.shape == (32, 64)
+
+
 def test_data_mesh_env_matrix(monkeypatch):
     """_data_mesh honors the MMEGO_DP x MMEGO_TP matrix: dp-only (1-D),
     dp x tp (2-D over all devices), pure tp (1 x k over exactly k), off."""
     from mmego_tpu.train import loop
 
-    # pin so _data_mesh's os.environ.setdefault is restored by monkeypatch
     monkeypatch.setenv("MMEGO_PALLAS", "0")
 
     monkeypatch.setenv("MMEGO_DP", "auto")
@@ -141,6 +164,30 @@ def test_data_mesh_env_matrix(monkeypatch):
 
     monkeypatch.setenv("MMEGO_TP", "1")
     assert loop._data_mesh() is None
+
+
+def test_tp_kernel_default_is_scoped_not_env(monkeypatch):
+    """Building a TP mesh must NOT mutate process env (the round-3 advisor
+    finding: os.environ.setdefault leaked a kernels-off default into later
+    single-device inference).  The off default now lives in a pallas_ctl
+    default_override scope active only inside _tp_scoped-wrapped steps."""
+    from mmego_tpu.ops import pallas_ctl
+    from mmego_tpu.train import loop
+
+    monkeypatch.delenv("MMEGO_PALLAS", raising=False)
+    monkeypatch.setenv("MMEGO_DP", "auto")
+    monkeypatch.setenv("MMEGO_TP", "2")
+    mesh = loop._data_mesh()
+    assert "MMEGO_PALLAS" not in os.environ  # no process-global mutation
+
+    probe = lambda: pallas_ctl._DEFAULT_OVERRIDE.get()
+    assert loop._tp_scoped(mesh, probe)() == (False,)  # scoped inside a step
+    assert pallas_ctl._DEFAULT_OVERRIDE.get() == ()    # gone outside it
+
+    # meshes without a real model axis pass steps through untouched
+    monkeypatch.setenv("MMEGO_TP", "1")
+    assert loop._tp_scoped(loop._data_mesh(), probe) is probe
+    assert loop._tp_scoped(None, probe) is probe
 
 
 def test_tp_grad_matches_single_device():
@@ -211,9 +258,6 @@ def _train_upper_params(cfg, small_imu, mode: str, monkeypatch):
     from mmego_tpu.train import loop
     monkeypatch.setenv("MMEGO_DP", "off" if mode == "off" else "auto")
     monkeypatch.setenv("MMEGO_TP", "2" if mode == "tp" else "1")
-    # pin so _data_mesh's os.environ.setdefault("MMEGO_PALLAS", ...) in tp
-    # mode is unwound with the monkeypatch instead of leaking suite-wide
-    monkeypatch.setenv("MMEGO_PALLAS", os.environ.get("MMEGO_PALLAS", "0"))
     with small_imu:
         (params, _), _ = loop.train_upper(cfg, max_epochs=1, verbose=False)
     return jax.device_get(params)
