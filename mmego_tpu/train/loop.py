@@ -169,14 +169,19 @@ def _data_mesh():
 
 def _tp_scoped(mesh, fn):
     """Wrap a jitted step so it traces (and runs) with Pallas kernels
-    defaulted OFF when the mesh carries a real ``model`` axis: kernel calls
-    are opaque to the GSPMD partitioner, so feature-sharded parameters must
-    flow through the XLA scan path.  The scope ends with each call -- later
-    single-device work in the same process keeps its kernel fast path
-    (previously this was an ``os.environ.setdefault`` that leaked
-    process-wide; ADVICE r3).  ``pallas_ctl`` env settings still win inside
-    the scope, preserving the explicit-user-override contract."""
-    if mesh is None or dict(mesh.shape).get(mesh_mod.MODEL_AXIS, 1) <= 1:
+    defaulted OFF whenever a mesh is active: kernel calls are opaque to the
+    GSPMD partitioner, so feature-sharded parameters (TP) and batch-sharded
+    eval forwards (DP; train steps never take the kernel path -- nn/lstm.py
+    gates it on ``not train``) must flow through the XLA scan path.  On the
+    common single-chip TPU path ``mesh is None`` and steps pass through
+    untouched, so the per-epoch eval that drives EarlyStopping runs the
+    fused kernels (VERDICT r3 #8 audit; documented in docs/PERFORMANCE.md).
+    The scope ends with each call -- later single-device work in the same
+    process keeps its kernel fast path (previously this was an
+    ``os.environ.setdefault`` that leaked process-wide; ADVICE r3).
+    ``pallas_ctl`` env settings still win inside the scope, preserving the
+    explicit-user-override contract."""
+    if mesh is None:
         return fn
 
     def wrapped(*args):

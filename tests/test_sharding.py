@@ -184,9 +184,11 @@ def test_tp_kernel_default_is_scoped_not_env(monkeypatch):
     assert loop._tp_scoped(mesh, probe)() == (False,)  # scoped inside a step
     assert pallas_ctl._DEFAULT_OVERRIDE.get() == ()    # gone outside it
 
-    # meshes without a real model axis pass steps through untouched
+    # DP-only meshes scope kernels off too (batch-sharded eval forwards are
+    # as GSPMD-opaque as TP ones); only the mesh-free single-chip path --
+    # where the per-epoch eval runs the fused kernels -- passes through.
     monkeypatch.setenv("MMEGO_TP", "1")
-    assert loop._tp_scoped(loop._data_mesh(), probe) is probe
+    assert loop._tp_scoped(loop._data_mesh(), probe)() == (False,)
     assert loop._tp_scoped(None, probe) is probe
 
 
