@@ -88,40 +88,15 @@ def _conv1x1_fl(p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return x @ p["w"][:, :, 0, 0].T + p["b"]
 
 
-def _bn_eval_affine(p: dict, s: dict):
-    """Eval-mode BatchNorm as (scale, shift) per channel (layers.bn_apply)."""
-    inv = jax.lax.rsqrt(s["var"] + layers.BN_EPS)
-    scale = inv * p["scale"]
-    return scale, p["bias"] - s["mean"] * scale
-
-
-def _gcn_fold_apply(p: dict, s: dict, x: jnp.ndarray,
-                    a: jnp.ndarray) -> jnp.ndarray:
-    """conv1x1 -> graph contraction -> eval-BN1, folded into ONE matmul.
-
-    out[n,t,w,c] = sum_{v,i} x[n,t,v,i] * M[(v,i),(w,c)] + b2[w,c] with
-    M[(v,i),(w,c)] = sum_k A_eff[k,v,w] * Wg[k,c,i] * bn1_scale[c] -- the
-    Kronecker structure of [per-joint channel mix] x [joint mixing].  Costs
-    ~6x the sequential form's MXU FLOPs (still <0.5 ms for the whole stage)
-    but runs as one dense (N*T, V*Cin) x (V*Cin, V*Co) pass: no
-    (N,T,V,K*Co) intermediate hits HBM and the V=15 contraction never
-    lowers as skinny matmuls.  Eval-only headroom candidate
-    (docs/PERFORMANCE.md); MMEGO_GCN_FOLD=1 enables, pending TPU
-    measurement.  Numerics: same dtype/precision regime as the sequential
-    path; only the reduction ORDER differs (one (v,i) sum vs conv-then-
-    contract), parity-tested to f32 tolerance.
-    """
-    n, t, v, cin = x.shape
-    k = a.shape[0]
-    wg = p["gcn_conv"]["w"][:, :, 0, 0].reshape(k, -1, cin)   # (K, Co, Cin)
-    bg = p["gcn_conv"]["b"].reshape(k, -1)                    # (K, Co)
-    scale, shift = _bn_eval_affine(p["tcn_bn1"], s["tcn_bn1"])
-    m = jnp.einsum("kvw,kci->viwc", a, wg * scale[None, :, None])
-    co = wg.shape[1]
-    m = m.reshape(v * cin, v * co)
-    b2 = jnp.einsum("kvw,kc->wc", a, bg) * scale + shift      # (V, Co)
-    y = (x.reshape(n, t, v * cin) @ m).reshape(n, t, v, co)
-    return y + b2
+# A Kronecker FOLD of [conv1x1 -> graph contraction -> eval-BN1] into one
+# dense (N*T, V*Cin) x (V*Cin, V*Co) matmul was built here in round 3 as an
+# eval-only headroom candidate (no (N,T,V,K*Co) HBM intermediate, no skinny
+# V=15 matmuls, ~6x the cheap MXU FLOPs).  Measured on the demo set
+# (scripts/gcn_fold_ab.py, 2026-08-20, v5e): fold OFF 10,425 it/s median vs
+# fold ON 10,328 -- ~0.9% SLOWER at identical metrics, so the fold was
+# deleted per the measure-or-delete rule (XLA's fused sequential lowering
+# already wins at these shapes).  Recover from git history
+# (`git log -S _gcn_fold_apply`) if a much larger graph revisits it.
 
 
 def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
@@ -139,22 +114,17 @@ def _block_apply(p: dict, s: dict, x: jnp.ndarray, a: jnp.ndarray,
     res = _conv1x1_fl(p["res_conv"], x)
     res, res_bn = layers.bn_apply(p["res_bn"], s["res_bn"], res, train)
 
-    import os
     from mmego_tpu.ops import pallas_kernels, pallas_ctl
-    if not train and os.environ.get("MMEGO_GCN_FOLD") == "1":
-        y = _gcn_fold_apply(p, s, x, a)         # conv+contract+BN1 folded
-        bn1 = s["tcn_bn1"]
+    y = _conv1x1_fl(p["gcn_conv"], x)                   # (N, T, V, K*C)
+    n, t, v, kc = y.shape
+    y = y.reshape(n, t, v, k, kc // k)
+    if not train and pallas_ctl.enabled("gcn"):
+        # the hand-written kernel speaks the reference NKCTV layout
+        y = pallas_kernels.gcn_contract(
+            y.transpose(0, 3, 4, 1, 2), a).transpose(0, 2, 3, 1)
     else:
-        y = _conv1x1_fl(p["gcn_conv"], x)               # (N, T, V, K*C)
-        n, t, v, kc = y.shape
-        y = y.reshape(n, t, v, k, kc // k)
-        if not train and pallas_ctl.enabled("gcn"):
-            # the hand-written kernel speaks the reference NKCTV layout
-            y = pallas_kernels.gcn_contract(
-                y.transpose(0, 3, 4, 1, 2), a).transpose(0, 2, 3, 1)
-        else:
-            y = jnp.einsum("ntvkc,kvw->ntwc", y, a)
-        y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train)
+        y = jnp.einsum("ntvkc,kvw->ntwc", y, a)
+    y, bn1 = layers.bn_apply(p["tcn_bn1"], s["tcn_bn1"], y, train)
     y = jax.nn.relu(y)
     from mmego_tpu.ops import temporal_conv
     if not train and pallas_ctl.enabled("tcn"):

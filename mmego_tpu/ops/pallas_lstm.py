@@ -612,97 +612,17 @@ fused_stack_tm_attn.defvjp(_fused_stack_tm_attn_fwd, _fused_stack_tm_attn_bwd)
 
 
 # ---------------------------------------------------------------------------
-# v4 (experimental): both directions of one layer in a single kernel
+# v4 (dual-direction layer kernel): MEASURED AND REMOVED (round 4)
 # ---------------------------------------------------------------------------
 #
-# Motivation: within one grid step the dependency chain
-# [h-dot -> gate VPU -> next h-dot] serialises the MXU and VPU; v3 can only
-# hide the x-dots.  Running the forward and REVERSED recurrences of the same
-# layer in one kernel body gives the scheduler two independent chains, so
-# direction A's gate transcendentals can overlap direction B's dots.  VMEM
-# doubles the weight residency, which caps this at F <= 512/H = 512 shapes
-# (layer 1 of the fast stack); layer 2's 12 MB of dual weights do not fit.
-# Ships only if the microbench shows a win (scripts/lstm_kernel_bench.py).
-
-
-def _dual_kernel(xf_ref, xb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
-                 bf_ref, bb_ref, of_ref, ob_ref,
-                 hf_ref, cf_ref, hb_ref, cb_ref, *, hidden: int):
-    t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _():
-        hf_ref[:] = jnp.zeros_like(hf_ref)
-        cf_ref[:] = jnp.zeros_like(cf_ref)
-        hb_ref[:] = jnp.zeros_like(hb_ref)
-        cb_ref[:] = jnp.zeros_like(cb_ref)
-
-    def cell(x_ref, wi_ref, wh_ref, b_ref, h_ref, c_ref, o_ref):
-        gates = b_ref[:] + jnp.dot(x_ref[0], wi_ref[:],
-                                   preferred_element_type=jnp.float32)
-        gates = gates + jnp.dot(h_ref[:].astype(jnp.bfloat16), wh_ref[:],
-                                preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(gates[:, :hidden])
-        f = jax.nn.sigmoid(gates[:, hidden:2 * hidden])
-        g = jnp.tanh(gates[:, 2 * hidden:3 * hidden])
-        o = jax.nn.sigmoid(gates[:, 3 * hidden:])
-        c = f * c_ref[:] + i * g
-        h = o * jnp.tanh(c)
-        h_ref[:] = h
-        c_ref[:] = c
-        o_ref[0] = h.astype(o_ref.dtype)
-
-    # two independent dataflow chains in one body -- scheduler may interleave
-    cell(xf_ref, wif_ref, whf_ref, bf_ref, hf_ref, cf_ref, of_ref)
-    cell(xb_ref, wib_ref, whb_ref, bb_ref, hb_ref, cb_ref, ob_ref)
-
-
-def _dual_direction_layer(layer: dict, x: jnp.ndarray, block_b: int):
-    """Both directions of one single-input layer: x (T, BP, F) bf16.
-
-    BP must be a multiple of ``block_b`` (same precondition as
-    ``_fused_direction``): the grid floor-truncates, so tail rows beyond
-    ``nb * block_b`` would silently come back uninitialised.
-
-    Returns (y_f, y_b) each (T, BP, H) bf16.
-    """
-    t, bp, f = x.shape
-    hidden = layer["fwd"]["wh"].shape[0]
-    if bp % block_b:
-        raise ValueError(
-            f"batch {bp} not a multiple of block_b {block_b}; the grid "
-            "would drop the tail rows")
-    nb = bp // block_b
-
-    def w(p):
-        return (p["wi"].astype(jnp.bfloat16), p["wh"].astype(jnp.bfloat16),
-                p["b"].astype(jnp.float32).reshape(1, 4 * hidden))
-
-    wif, whf, bf = w(layer["fwd"])
-    wib, whb, bb = w(layer["bwd"])
-
-    fix = lambda i, tt: (tt, i, 0)
-    rix = lambda i, tt: (t - 1 - tt, i, 0)
-    res = lambda i, tt: (0, 0)
-
-    x_spec = lambda ix: pl.BlockSpec((1, block_b, f), ix,
-                                     memory_space=pltpu.VMEM)
-    w_spec = lambda a: pl.BlockSpec(a.shape, res, memory_space=pltpu.VMEM)
-    o_spec = lambda ix: pl.BlockSpec((1, block_b, hidden), ix,
-                                     memory_space=pltpu.VMEM)
-
-    y_f, y_b = pl.pallas_call(
-        functools.partial(_dual_kernel, hidden=hidden),
-        grid=(nb, t),
-        in_specs=[x_spec(fix), x_spec(rix),
-                  w_spec(wif), w_spec(wib), w_spec(whf), w_spec(whb),
-                  w_spec(bf), w_spec(bb)],
-        out_specs=[o_spec(fix), o_spec(rix)],
-        out_shape=[jax.ShapeDtypeStruct((t, bp, hidden), jnp.bfloat16),
-                   jax.ShapeDtypeStruct((t, bp, hidden), jnp.bfloat16)],
-        scratch_shapes=[pltpu.VMEM((block_b, hidden), jnp.float32)
-                        for _ in range(4)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
-    )(x, x, wif, wib, whf, whb, bf, bb)
-    return y_f, y_b
+# Hypothesis: within one grid step the dependency chain
+# [h-dot -> gate VPU -> next h-dot] serialises the MXU and VPU; running the
+# forward and REVERSED recurrences of one layer in a single kernel body
+# gives the scheduler two independent chains to interleave.  Measured on
+# the fast-stack shapes (scripts/lstm_kernel_bench.py, 2026-08-20, v5e):
+# v4 dual layer-1 + v3 layer-2 hybrid 45.12 ms vs shipped v3 45.06 ms and
+# v2@448 44.82 ms -- no win (the doubled weight residency also caps it at
+# F <= 512 layers, so layer 2 could never use it).  The kernel was deleted
+# with this note per the measure-or-delete rule; recover it from git
+# history (`git log -S _dual_direction_layer`) if larger shapes revisit
+# the idea.

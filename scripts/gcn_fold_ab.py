@@ -1,16 +1,15 @@
 """A/B one cascade-level setting on the real TPU: run the full demo-set
 evaluation under the CURRENT environment and print one JSON line.
 
-Built for the deferred `MMEGO_GCN_FOLD` measurement (models/stgcn.py
-``_gcn_fold_apply``; the env var is read at trace time, so each setting
-needs a fresh process):
+Any trace-time env switch (MMEGO_PALLAS_*, MMEGO_LSTM_PIPE, ...) can be
+A/B'd by running this once per setting in a fresh process (the switches
+are read at trace time).  Prints best + median it/s over PASSES timed
+passes at the whole-set batch plus the demo metrics (the B side must not
+move them).
 
-    MMEGO_GCN_FOLD=0 python scripts/gcn_fold_ab.py
-    MMEGO_GCN_FOLD=1 python scripts/gcn_fold_ab.py
-
-but any trace-time env switch (MMEGO_PALLAS_*, MMEGO_LSTM_PIPE, ...) can be
-A/B'd the same way.  Prints best + median it/s over PASSES timed passes at
-the whole-set batch plus the demo metrics (the B side must not move them).
+History: built for the deferred `MMEGO_GCN_FOLD` measurement, which it
+settled on 2026-08-20 (fold OFF 10,425 it/s median vs ON 10,328 at
+identical metrics -> the fold was deleted; note in models/stgcn.py).
 """
 
 import json

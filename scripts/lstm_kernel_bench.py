@@ -68,21 +68,9 @@ def main():
     report("v2 bb=448    ", time_fn(v2_448, params, x))
     os.environ.pop("MMEGO_LSTM_PIPE")
 
-    # v4 dual-direction layer-1 + v3 layer-2 hybrid (see pallas_lstm v4)
-    def hybrid(p, x, bb=448):
-        x_tm = pallas_lstm._pad_rows(
-            jnp.swapaxes(x, 0, 1).astype(jnp.bfloat16), bb)
-        # 224 divides the 448-padded batch and fits dual VMEM (weights 8MB
-        # + tiles/outs/scratch ~4MB)
-        y_f, y_b = pallas_lstm._dual_direction_layer(p[0], x_tm, 224)
-        xs = [y_f, y_b]
-        y_f = pallas_lstm._fused_pipe_direction(p[1]["fwd"], xs, False, bb)
-        y_b = pallas_lstm._fused_pipe_direction(p[1]["bwd"], xs, True, bb)
-        return y_f, y_b
-    try:
-        report("v4 dual L1   ", time_fn(jax.jit(hybrid), params, x))
-    except Exception as e:
-        print(f"v4 dual L1 FAILED: {str(e)[:150]}", flush=True)
+    # v4 dual-direction kernel: measured 45.12 ms here on 2026-08-20 (vs v3
+    # 45.06, v2@448 44.82 -- no win) and deleted; see the note at the end of
+    # ops/pallas_lstm.py.
 
     for bb in (320, 384, 448):
         pipe = jax.jit(lambda p, x, bb=bb:

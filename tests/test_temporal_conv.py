@@ -43,33 +43,6 @@ def test_banded_weights_differentiable():
     np.testing.assert_allclose(gm, gc, rtol=1e-4, atol=1e-4)
 
 
-def test_gcn_fold_matches_sequential_path(monkeypatch):
-    """MMEGO_GCN_FOLD=1 (conv+contract+BN1 folded into one matmul) must
-    match the sequential eval path.  BN stats and affines are randomised so
-    the folded affine is non-trivial."""
-    from mmego_tpu.models import stgcn
-
-    params, state = stgcn.stgcn_init(jax.random.PRNGKey(5))
-    rngs = iter(jax.random.split(jax.random.PRNGKey(6), 64))
-    for blk_p, blk_s in zip(params["blocks"], state["blocks"]):
-        for bn in ("tcn_bn1", "tcn_bn2"):
-            c = blk_p[bn]["scale"].shape[0]
-            blk_p[bn]["scale"] = 1.0 + 0.3 * jax.random.normal(next(rngs), (c,))
-            blk_p[bn]["bias"] = 0.2 * jax.random.normal(next(rngs), (c,))
-        for bn in ("tcn_bn1", "tcn_bn2"):
-            c = blk_s[bn]["mean"].shape[0]
-            blk_s[bn]["mean"] = 0.1 * jax.random.normal(next(rngs), (c,))
-            blk_s[bn]["var"] = jnp.exp(
-                0.3 * jax.random.normal(next(rngs), (c,)))
-    joints = jax.random.normal(jax.random.PRNGKey(7), (3, 20, 15, 3),
-                               jnp.float32)
-    base, _ = stgcn.stgcn_apply(params, state, joints, train=False)
-    monkeypatch.setenv("MMEGO_GCN_FOLD", "1")
-    fold, _ = stgcn.stgcn_apply(params, state, joints, train=False)
-    np.testing.assert_allclose(np.asarray(fold), np.asarray(base),
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_stgcn_block_switch_parity(monkeypatch):
     """The eval path with ONLY the 'tcn' switch on must match the conv path
     (per-op patch: a blanket override(True) would also route the gcn Pallas
