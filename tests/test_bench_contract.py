@@ -77,3 +77,29 @@ def test_selfcheck_failure_refuses_to_publish(fallback_world, monkeypatch,
     assert bench.main([]) == 1
     j = _stdout_json(capsys)
     assert j["value"] == 0.0 and j["error"] == "backend selfcheck failed"
+
+
+def test_train_bench_reports_medians_and_survives_one_epoch(monkeypatch):
+    """The training artifact reports the MEDIAN of post-compile epochs (the
+    round-3 min-of-2 inherited tunnel jitter) plus the min for context, and
+    must not crash when a stage records a single epoch (early stop)."""
+    from mmego_tpu.train import loop
+
+    fake_times = {"imu": [9.0, 2.0, 1.0, 3.0, 2.5, 2.2],   # median 2.35? no:
+                  # steady = [2.0, 1.0, 3.0, 2.5, 2.2] -> median 2.2, min 1.0
+                  "upper": [5.0, 4.0],                      # -> 4.0 / 4.0
+                  "lower": [7.0]}                           # 1 epoch -> 7.0
+
+    def fake(name):
+        def run(cfg, verbose, max_epochs, timings):
+            timings.extend(fake_times[name])
+        return run
+
+    monkeypatch.setattr(loop, "train_imu", fake("imu"))
+    monkeypatch.setattr(loop, "train_upper", fake("upper"))
+    monkeypatch.setattr(loop, "train_lower", fake("lower"))
+    stages = bench.train_bench()
+    assert stages["imu_s"] == 2.2 and stages["imu_min_s"] == 1.0
+    assert stages["upper_s"] == 4.0 and stages["upper_min_s"] == 4.0
+    # single-epoch stage: falls back to the only recorded time, no crash
+    assert stages["lower_s"] == 7.0 and stages["lower_min_s"] == 7.0
