@@ -89,7 +89,7 @@ def train_bench() -> dict:
     from mmego_tpu.config import Config
     from mmego_tpu.train import loop
 
-    EPOCHS = 6
+    EPOCHS = 10   # median over 9 steady epochs; epochs are ~0.4 s on TPU
     stages = {}
     for name, fn, idx in (("imu", loop.train_imu, 9801),
                           ("upper", loop.train_upper, 9802),
