@@ -1,0 +1,139 @@
+"""Serving: resident-weight batch prediction + real-time streaming windows.
+
+The reference has no serving layer at all -- its only inference surface is
+the offline per-window eval loop (``Processor/Test/Demo_test.py:71-184``,
+SURVEY.md §3.1).  This module is the deployment-facing counterpart the
+production use case (head-mounted radar + IMU, live pose) actually needs,
+built the TPU way:
+
+* ``Predictor`` -- loads the three-stage cascade once, jits ONE
+  fixed-batch program (static shapes, single compile), keeps params
+  HBM-resident, and serves arbitrary window counts by repeat-last-row
+  padding + trimming (the same primitive as the benchmark path,
+  ``parallel/mesh.pad_leading``).
+* ``StreamingSession`` -- the online wrapper: a ring buffer of the last
+  ``frame_no`` (cloud, imu) frames; every ``push`` emits the 21-joint
+  skeleton for the CURRENT sliding window through a batch-1 program.
+  (The reference's loader chops snippets into non-overlapping windows for
+  offline eval, ``Dataset_sample.py:235-262``; a live head-mounted system
+  wants a pose per frame, hence sliding -- the per-window math is
+  identical.)
+
+Latency note (tunneled dev TPU): each ``push`` pays one dispatch + fetch
+round trip (~26 ms); on a locally attached chip the device time per
+window is sub-millisecond (835 windows take ~57 ms), so frame-rate
+streaming is device-cheap.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from mmego_tpu.config import Config, demo_config
+from mmego_tpu import infer
+from mmego_tpu.parallel import mesh as mesh_mod
+
+
+class Predictor:
+    """Resident-weight batch predictor over 20-frame windows.
+
+    Args:
+      cfg: config (defaults to the demo profile; checkpoint paths resolve
+        exactly as ``--infer`` does, ``infer.load_cascade_params``).
+      params/state: pre-loaded cascade pytrees (skip checkpoint IO).
+      batch: fixed device batch the compiled program serves (default
+        ``cfg.infer_batch``); smaller inputs are padded, larger ones loop.
+      warmup: run one padded batch at construction so the first real
+        request never pays the compile.
+    """
+
+    def __init__(self, cfg: Optional[Config] = None, params=None, state=None,
+                 batch: Optional[int] = None, warmup: bool = True):
+        self.cfg = cfg or demo_config()
+        if params is None:
+            params, state = infer.load_cascade_params(self.cfg)
+        self._fn = infer.jit_cascade(params, state, self.cfg.lower_pc_no,
+                                     self.cfg.imu_used)
+        self.batch = int(batch or self.cfg.infer_batch)
+        if warmup:
+            c = np.zeros((self.batch, self.cfg.frame_no, self.cfg.pc_no, 6),
+                         np.float32)
+            i = np.zeros((self.batch, self.cfg.frame_no, 20, 15), np.float32)
+            b = np.zeros((self.batch, 20, 3), np.float32)
+            np.asarray(self._fn(jnp.asarray(c), jnp.asarray(i),
+                                jnp.asarray(b))["all"])
+
+    def predict(self, cloud: np.ndarray, imu: np.ndarray,
+                bones: np.ndarray) -> Dict[str, np.ndarray]:
+        """Joints for ``W`` windows.
+
+        Args:
+          cloud: (W, L, P, 6) radar windows (P = ``cfg.pc_no`` padded size).
+          imu:   (W, L, 20, 15) IMU windows.
+          bones: (W, 20, 3) calibration bone vectors.
+        Returns:
+          {"upper": (W, L, 15, 3), "lower": (W, L, 8, 3),
+           "all": (W, L, 21, 3)} in the reference frame, metres.
+        """
+        n = len(cloud)
+        outs = {"upper": [], "lower": [], "all": []}
+        for start in range(0, n, self.batch):
+            sl = slice(start, start + self.batch)
+            m = len(cloud[sl])
+            out = self._fn(
+                jnp.asarray(mesh_mod.pad_leading(cloud[sl], self.batch)),
+                jnp.asarray(mesh_mod.pad_leading(imu[sl], self.batch)),
+                jnp.asarray(mesh_mod.pad_leading(bones[sl], self.batch)))
+            for k in outs:
+                outs[k].append(np.asarray(out[k][:m]))
+        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+
+
+class StreamingSession:
+    """Sliding-window online inference for one capture session.
+
+    Args:
+      predictor: a ``Predictor`` (ideally constructed with ``batch=1``
+        for latency; any batch works, the window is padded).
+      bones: (20, 3) calibration bone vectors for this subject/session
+        (the loader computes them from the first calibration frame,
+        reference ``Dataset_sample.py:163-178``).
+    """
+
+    def __init__(self, predictor: Predictor, bones: np.ndarray):
+        self.predictor = predictor
+        self.bones = np.asarray(bones, np.float32)
+        self._frames = deque(maxlen=predictor.cfg.frame_no)
+
+    def __len__(self) -> int:
+        return len(self._frames)
+
+    @property
+    def warm(self) -> bool:
+        """True once a full window of frames has been pushed."""
+        return len(self._frames) == self._frames.maxlen
+
+    def push(self, cloud_frame: np.ndarray,
+             imu_frame: np.ndarray) -> Optional[Dict[str, np.ndarray]]:
+        """Add one frame; return the pose for the current window.
+
+        Args:
+          cloud_frame: (P, 6) padded radar frame.
+          imu_frame: (20, 15) IMU packet.
+        Returns:
+          ``None`` until ``frame_no`` frames have been pushed, then
+          {"upper"/"lower"/"all": (L, J, 3)} for the sliding window ending
+          at this frame.
+        """
+        self._frames.append((np.asarray(cloud_frame, np.float32),
+                             np.asarray(imu_frame, np.float32)))
+        if not self.warm:
+            return None
+        cloud = np.stack([c for c, _ in self._frames])[None]   # (1, L, P, 6)
+        imu = np.stack([i for _, i in self._frames])[None]     # (1, L, 20, 15)
+        out = self.predictor.predict(cloud, imu, self.bones[None])
+        return {k: v[0] for k, v in out.items()}
