@@ -19,23 +19,52 @@ built the TPU way:
   wants a pose per frame, hence sliding -- the per-window math is
   identical.)
 
-Latency note (tunneled dev TPU): each ``push`` pays one dispatch + fetch
-round trip (~26 ms); on a locally attached chip the device time per
-window is sub-millisecond (835 windows take ~57 ms), so frame-rate
-streaming is device-cheap.
+Latency (measured on the tunneled dev TPU, 400 pushes): **29 ms median /
+32 ms p90** per ``push`` -- one dispatch + ONE packed fetch round trip
+(the outputs are concatenated on device and split on host; separate
+upper/lower/all fetches measured 78 ms).  On a locally attached chip the
+RTT term vanishes and per-window device time is sub-millisecond (835
+windows take ~57 ms), so frame-rate streaming is device-cheap.
 """
 
 from __future__ import annotations
 
 from collections import deque
+from functools import partial
 from typing import Dict, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from mmego_tpu.config import Config, demo_config
 from mmego_tpu import infer
+from mmego_tpu.models import cascade as cascade_mod
 from mmego_tpu.parallel import mesh as mesh_mod
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _packed_cascade_jit(params, state, cloud, imu, bones, lower_pc_no,
+                        imu_used):
+    """Cascade with the three joint outputs PACKED into one (B, L, 132)
+    array: every host fetch over a tunneled backend costs a full round
+    trip (~26 ms measured), so fetching upper/lower/all separately tripled
+    the streaming push latency (measured 78 -> 29 ms median with the pack
+    -- the floor is the one irreducible RTT; device time is sub-ms).
+    Params ride as arguments, not closures (see infer._cascade_jit)."""
+    out = cascade_mod.cascade_apply(params, state, cloud, imu, bones,
+                                    lower_pc_no, imu_used)
+    b, l = out["all"].shape[:2]
+    return jnp.concatenate([out["upper"].reshape(b, l, 45),
+                            out["lower"].reshape(b, l, 24),
+                            out["all"].reshape(b, l, 63)], axis=-1)
+
+
+def _unpack(flat: np.ndarray) -> Dict[str, np.ndarray]:
+    b, l = flat.shape[:2]
+    return {"upper": flat[..., :45].reshape(b, l, 15, 3),
+            "lower": flat[..., 45:69].reshape(b, l, 8, 3),
+            "all": flat[..., 69:].reshape(b, l, 21, 3)}
 
 
 class Predictor:
@@ -56,8 +85,9 @@ class Predictor:
         self.cfg = cfg or demo_config()
         if params is None:
             params, state = infer.load_cascade_params(self.cfg)
-        self._fn = infer.jit_cascade(params, state, self.cfg.lower_pc_no,
-                                     self.cfg.imu_used)
+        params, state = jax.device_put((params, state))
+        self._fn = lambda c, i, b: _packed_cascade_jit(
+            params, state, c, i, b, self.cfg.lower_pc_no, self.cfg.imu_used)
         self.batch = int(batch or self.cfg.infer_batch)
         if warmup:
             c = np.zeros((self.batch, self.cfg.frame_no, self.cfg.pc_no, 6),
@@ -65,7 +95,7 @@ class Predictor:
             i = np.zeros((self.batch, self.cfg.frame_no, 20, 15), np.float32)
             b = np.zeros((self.batch, 20, 3), np.float32)
             np.asarray(self._fn(jnp.asarray(c), jnp.asarray(i),
-                                jnp.asarray(b))["all"])
+                                jnp.asarray(b)))
 
     def predict(self, cloud: np.ndarray, imu: np.ndarray,
                 bones: np.ndarray) -> Dict[str, np.ndarray]:
@@ -80,7 +110,7 @@ class Predictor:
            "all": (W, L, 21, 3)} in the reference frame, metres.
         """
         n = len(cloud)
-        outs = {"upper": [], "lower": [], "all": []}
+        flats = []
         for start in range(0, n, self.batch):
             sl = slice(start, start + self.batch)
             m = len(cloud[sl])
@@ -88,9 +118,8 @@ class Predictor:
                 jnp.asarray(mesh_mod.pad_leading(cloud[sl], self.batch)),
                 jnp.asarray(mesh_mod.pad_leading(imu[sl], self.batch)),
                 jnp.asarray(mesh_mod.pad_leading(bones[sl], self.batch)))
-            for k in outs:
-                outs[k].append(np.asarray(out[k][:m]))
-        return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
+            flats.append(np.asarray(out[:m]))      # ONE fetch per batch
+        return _unpack(np.concatenate(flats, axis=0))
 
 
 class StreamingSession:
