@@ -94,9 +94,8 @@ def _cascade_jit(params, state, cloud, imu, bones, lower_pc_no, imu_used):
                                  lower_pc_no, imu_used)
 
 
-@partial(jax.jit, static_argnums=(7, 8), donate_argnums=(9,))
-def _cascade_metrics_acc_jit(params, state, cloud, imu, bones, key_gt, w,
-                             lower_pc_no, imu_used, acc):
+def _cascade_metrics_acc(params, state, cloud, imu, bones, key_gt, w,
+                         lower_pc_no, imu_used, acc):
     """Cascade + metrics, accumulated into one flat device vector.
 
     Every host interaction with a tunneled TPU costs a full network round
@@ -109,6 +108,16 @@ def _cascade_metrics_acc_jit(params, state, cloud, imu, bones, key_gt, w,
     s = metrics_mod.metric_sums(out["all"], key_gt, out["upper"],
                                 out["lower"], w)
     return acc + metrics_mod.pack_metric_sums(s)
+
+
+# The shared module-level binding serves the common single-device path (one
+# compile per shape, every caller).  Mesh runs must NOT use it: the Pallas
+# kernel choice is trace-time and not part of the jit cache key
+# (ops/pallas_ctl.py caveat), so a kernels-ON jaxpr traced by an earlier
+# same-shape single-device call would be reused verbatim under the mesh --
+# evaluate() constructs a FRESH jit per mesh run instead.
+_cascade_metrics_acc_jit = partial(jax.jit, static_argnums=(7, 8),
+                                   donate_argnums=(9,))(_cascade_metrics_acc)
 
 
 def jit_cascade(params, state, lower_pc_no: int = 64, imu_used: bool = True):
@@ -313,6 +322,15 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         return (pallas_ctl.default_override(False) if mesh is not None
                 else contextlib.nullcontext())
 
+    # Mesh runs get a FRESH jit: the kernel switch is trace-time and not a
+    # jit cache key, so sharing _cascade_metrics_acc_jit with single-device
+    # callers at colliding shapes would reuse a kernels-ON jaxpr under
+    # GSPMD (see the binding's comment).  The retrace cost is per-evaluate,
+    # not per-batch.
+    step = (_cascade_metrics_acc_jit if mesh is None else
+            partial(jax.jit, static_argnums=(7, 8),
+                    donate_argnums=(9,))(_cascade_metrics_acc))
+
     def run_all():
         # Async dispatch chain: each batch adds its packed metric sums into
         # the (donated) accumulator; the single host fetch at the end both
@@ -326,7 +344,7 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
                 # device array still dispatches a full-size device copy
                 # (~480 MB of cloud, ~1.2 ms/pass in the cascade profile)
                 take = (lambda a: a) if batch == padded else (lambda a: a[sl])
-                acc = _cascade_metrics_acc_jit(
+                acc = step(
                     params, state, take(cloud_d), take(imu_d), take(bones_d),
                     take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used,
                     acc)
@@ -339,7 +357,7 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         sl = slice(0, batch)
         take = (lambda a: a) if batch == padded else (lambda a: a[sl])
         with kernel_scope():
-            np.asarray(_cascade_metrics_acc_jit(  # fetch forces completion
+            np.asarray(step(                      # fetch forces completion
                 params, state, take(cloud_d), take(imu_d), take(bones_d),
                 take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc))
     t0 = time.perf_counter()
@@ -354,6 +372,18 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         print(f"{len(data)}it [{elapsed:.2f}s, {m['it_per_s']:.2f}it/s]")
         print(metrics_mod.format_report(m))
     if return_preds:
-        m["preds"] = run_cascade_batched(params, state, data, batch,
-                                         cfg.lower_pc_no, cfg.imu_used)
+        if mesh is None:
+            m["preds"] = run_cascade_batched(params, state, data, batch,
+                                             cfg.lower_pc_no, cfg.imu_used)
+        else:
+            # Same two mesh rules as the metrics pass: a FRESH jit (the
+            # shared _cascade_jit may hold a kernels-ON trace at these
+            # shapes) traced inside the kernels-off scope.
+            fresh = jax.jit(lambda p, s, c, i, b: cascade.cascade_apply(
+                p, s, c, i, b, cfg.lower_pc_no, cfg.imu_used))
+            with kernel_scope():
+                m["preds"] = run_cascade_batched(
+                    params, state, data, batch, cfg.lower_pc_no,
+                    cfg.imu_used,
+                    fn=lambda c, i, b: fresh(params, state, c, i, b))
     return m

@@ -110,6 +110,11 @@ class Predictor:
            "all": (W, L, 21, 3)} in the reference frame, metres.
         """
         n = len(cloud)
+        if n == 0:   # empty request: empty outputs, not a concat crash
+            l = self.cfg.frame_no
+            return {"upper": np.zeros((0, l, 15, 3), np.float32),
+                    "lower": np.zeros((0, l, 8, 3), np.float32),
+                    "all": np.zeros((0, l, 21, 3), np.float32)}
         flats = []
         for start in range(0, n, self.batch):
             sl = slice(start, start + self.batch)

@@ -45,7 +45,7 @@ def paths():
                 model_lower_path=os.path.join(OUT, "lower_net.ckpt.npz"))
 
 
-def train_stage(name, fn, idx, lr, resume, **cfg_kw):
+def train_stage(name, fn, idx, lr, **cfg_kw):
     cfg = Config(idx=idx, lr=lr, dataset_random_seed=SEED, **paths(),
                  **cfg_kw)
     out = fn(cfg, verbose=False)
@@ -60,16 +60,16 @@ def main():
     # Stage budgets/lrs follow the provenance of the shipped reference
     # checkpoints (imu/upper 3e-5; lower 3e-4 -- its .pth name is
     # epoch161_...lr0.0003) and the scripts/train_*_scratch.py recipes.
-    train_stage("imu", loop.train_imu, 520, 3e-5, False)
-    train_stage("upper", loop.train_upper, 521, 3e-5, False,
+    train_stage("imu", loop.train_imu, 520, 3e-5)
+    train_stage("upper", loop.train_upper, 521, 3e-5,
                 upper_pretrained=False)
-    train_stage("lower", loop.train_lower, 522, 3e-4, False,
+    train_stage("lower", loop.train_lower, 522, 3e-4,
                 lower_pretrained=False)
     if "--refine" in sys.argv:
         for off, lr in enumerate((3e-5, 1e-5)):
-            train_stage("upper", loop.train_upper, 530 + 2 * off, lr, True,
+            train_stage("upper", loop.train_upper, 530 + 2 * off, lr,
                         upper_pretrained=True)
-            train_stage("lower", loop.train_lower, 531 + 2 * off, lr, True,
+            train_stage("lower", loop.train_lower, 531 + 2 * off, lr,
                         lower_pretrained=True)
     heldout("seed2", seed=SEED, **paths())
 

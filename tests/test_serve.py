@@ -44,6 +44,18 @@ def test_predictor_serves_any_window_count(world):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_predictor_empty_request(world):
+    """Zero windows return empty, correctly-shaped outputs (not a
+    np.concatenate crash)."""
+    cfg, data, params, state = world
+    pred = serve.Predictor(cfg, params=params, state=state, batch=2,
+                           warmup=False)
+    out = pred.predict(data.cloud[:0], data.imu[:0], data.bones[:0])
+    assert out["all"].shape == (0, cfg.frame_no, 21, 3)
+    assert out["upper"].shape == (0, cfg.frame_no, 15, 3)
+    assert out["lower"].shape == (0, cfg.frame_no, 8, 3)
+
+
 def test_streaming_session_sliding_window(world):
     """Per-frame pushes: None until warm, then the pose of the sliding
     window -- bit-matching the batch path on the same window."""
