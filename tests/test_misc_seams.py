@@ -60,6 +60,26 @@ def test_pallas_ctl_override_and_env(monkeypatch):
     monkeypatch.delenv("MMEGO_PALLAS")
 
 
+def test_pallas_ctl_default_override_resolution(monkeypatch):
+    """default_override replaces the per-op DEFAULTS (step 3b) -- it must
+    lose to an explicit env setting but beat the built-in table.  Backend
+    faked as TPU so the on_tpu gate doesn't mask the precedence."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pallas_ctl.default_override(False):
+        assert pallas_ctl.enabled("lstm") is False       # beats default ON
+        monkeypatch.setenv("MMEGO_PALLAS", "1")
+        assert pallas_ctl.enabled("lstm") is True        # env wins
+        monkeypatch.delenv("MMEGO_PALLAS")
+        with pallas_ctl.override(True):
+            assert pallas_ctl.enabled("lstm") is True    # override wins all
+    with pallas_ctl.default_override(True):
+        assert pallas_ctl.enabled("attn") is True        # beats default OFF
+    assert pallas_ctl.enabled("lstm") is True            # scope fully unwound
+    assert pallas_ctl.enabled("attn") is False
+
+
 def test_ensure_reachable_backend_branches(monkeypatch):
     """bench.py's tunnel-down guard: a requested-CPU env short-circuits (and
     still pins the config), a healthy probe reports the platform it actually
