@@ -8,7 +8,6 @@ The 835-window demo set is processed in ceil(835/infer_batch) dispatches.
 
 from __future__ import annotations
 
-import contextlib
 import os
 import time
 from typing import Dict, Optional, Tuple
@@ -85,17 +84,22 @@ _pad_to = mesh_mod.pad_leading
 from functools import partial
 
 
-@partial(jax.jit, static_argnums=(5, 6))
-def _cascade_jit(params, state, cloud, imu, bones, lower_pc_no, imu_used):
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _cascade_jit(params, state, cloud, imu, bones, lower_pc_no, imu_used,
+                 kernels):
     # Params/state are ARGUMENTS, not closures: closing over them would embed
     # 23M weights as HLO constants -- multi-minute compiles, 200MB executables
     # and a compilation-cache key that never stabilises across processes.
-    return cascade.cascade_apply(params, state, cloud, imu, bones,
-                                 lower_pc_no, imu_used)
+    # ``kernels`` (a pallas_ctl.snapshot) is STATIC: the Pallas switch is
+    # part of the jit cache key, so one shared binding safely serves
+    # kernels-on (single-device) and kernels-off (mesh/GSPMD) callers.
+    with pallas_ctl.snapshot_scope(kernels):
+        return cascade.cascade_apply(params, state, cloud, imu, bones,
+                                     lower_pc_no, imu_used)
 
 
 def _cascade_metrics_acc(params, state, cloud, imu, bones, key_gt, w,
-                         lower_pc_no, imu_used, acc):
+                         lower_pc_no, imu_used, acc, kernels):
     """Cascade + metrics, accumulated into one flat device vector.
 
     Every host interaction with a tunneled TPU costs a full network round
@@ -103,28 +107,28 @@ def _cascade_metrics_acc(params, state, cloud, imu, bones, key_gt, w,
     batch burned ~130 ms of pure latency on a 250 ms eval.  Batches are
     dispatched asynchronously into a donated accumulator and the host fetches
     ONE small vector at the very end."""
-    out = cascade.cascade_apply(params, state, cloud, imu, bones,
-                                lower_pc_no, imu_used)
-    s = metrics_mod.metric_sums(out["all"], key_gt, out["upper"],
-                                out["lower"], w)
+    with pallas_ctl.snapshot_scope(kernels):
+        out = cascade.cascade_apply(params, state, cloud, imu, bones,
+                                    lower_pc_no, imu_used)
+        s = metrics_mod.metric_sums(out["all"], key_gt, out["upper"],
+                                    out["lower"], w)
     return acc + metrics_mod.pack_metric_sums(s)
 
 
-# The shared module-level binding serves the common single-device path (one
-# compile per shape, every caller).  Mesh runs must NOT use it: the Pallas
-# kernel choice is trace-time and not part of the jit cache key
-# (ops/pallas_ctl.py caveat), so a kernels-ON jaxpr traced by an earlier
-# same-shape single-device call would be reused verbatim under the mesh --
-# evaluate() constructs a FRESH jit per mesh run instead.
-_cascade_metrics_acc_jit = partial(jax.jit, static_argnums=(7, 8),
+# ONE shared binding for every caller, mesh or not: the trailing ``kernels``
+# static argument (a pallas_ctl.snapshot, re-imposed inside the trace) keys
+# the cache by kernel choice, so a kernels-ON jaxpr traced by a same-shape
+# single-device call can never be reused under GSPMD.
+_cascade_metrics_acc_jit = partial(jax.jit, static_argnums=(7, 8, 10),
                                    donate_argnums=(9,))(_cascade_metrics_acc)
 
 
 def jit_cascade(params, state, lower_pc_no: int = 64, imu_used: bool = True):
     """Bind params/state onto the module-level jitted cascade (one compile
-    per input shape, shared by every caller in the process)."""
+    per input shape + kernel state, shared by every caller in the process)."""
     return lambda c, i, b: _cascade_jit(params, state, c, i, b,
-                                        lower_pc_no, imu_used)
+                                        lower_pc_no, imu_used,
+                                        pallas_ctl.snapshot())
 
 
 def run_cascade_batched(params, state, data, batch: int, lower_pc_no: int = 64,
@@ -286,6 +290,9 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
     # the packed metric accumulation psum'd by the partitioner.  The
     # reference has no counterpart (single-device, Config/config.py:31-34);
     # the common one-chip case takes the mesh-free path below unchanged.
+    # Works multi-controller too: batches and params place via
+    # mesh.put_global (each process contributes its addressable shards);
+    # tests/_multihost_worker.py runs this path across two OS processes.
     mesh = None
     if os.environ.get("MMEGO_DP", "auto") != "off" and jax.device_count() > 1:
         mesh = mesh_mod.make_mesh()
@@ -296,70 +303,78 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         n_dev = dict(mesh.shape)[mesh_mod.DATA_AXIS]
         batch = -(-batch // n_dev) * n_dev  # device multiple; w masks pad
     padded = -(-n // batch) * batch
+    nb = padded // batch
 
-    # Device-resident inputs, padded once to a batch multiple.
-    cloud_d = jnp.asarray(_pad_to(data.cloud, padded))
-    imu_d = jnp.asarray(_pad_to(data.imu, padded))
-    bones_d = jnp.asarray(_pad_to(data.bones, padded))
-    key_d = jnp.asarray(_pad_to(data.key, padded))
     w_np = np.zeros((padded,), np.float32)
     w_np[:n] = 1.0
-    w_d = jnp.asarray(w_np)
+    host = [_pad_to(np.asarray(a), padded)
+            for a in (data.cloud, data.imu, data.bones, data.key)] + [w_np]
 
-    if mesh is not None:
-        s = mesh_mod.batch_sharding(mesh)
-        cloud_d, imu_d, bones_d, key_d, w_d = (
-            jax.device_put(a, s) for a in
-            (cloud_d, imu_d, bones_d, key_d, w_d))
+    if mesh is None:
+        # Device-resident inputs, padded once to a batch multiple.
+        devd = [jnp.asarray(a) for a in host]
+        kernels = pallas_ctl.snapshot()
+
+        def take_batch(i):
+            # whole-set batches skip the slice: x[0:n] of an n-row device
+            # array still dispatches a full-size device copy (~480 MB of
+            # cloud, ~1.2 ms/pass in the cascade profile)
+            if nb == 1:
+                return devd
+            sl = slice(i * batch, (i + 1) * batch)
+            return [a[sl] for a in devd]
+    else:
+        # Batch-major layout (nb, batch, ...) with the BATCH axis sharded
+        # over ``data``: indexing the leading axis hands the jit one device
+        # batch already aligned to shard boundaries, so no dispatch ever
+        # pays a cross-device reshard of its inputs (ADVICE r4).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s = NamedSharding(mesh, P(None, mesh_mod.DATA_AXIS))
+        devd = [mesh_mod.put_global(a.reshape((nb, batch) + a.shape[1:]), s)
+                for a in host]
         params, state = mesh_mod.place_params(mesh, (params, state))
+        # Pallas kernels are opaque to the GSPMD partitioner: mesh traces
+        # default kernels off.  An explicit MMEGO_PALLAS[_*]=1 env setting
+        # still wins (documented contract) but silently loses the sharding
+        # benefit (GSPMD all-gathers around the opaque call) -- warn loudly.
+        kernels = pallas_ctl.snapshot(force_off=True)
+        if any(on for _, on in kernels):
+            import warnings
+            warnings.warn(
+                "Pallas kernels are force-enabled by MMEGO_PALLAS[_*] while "
+                "evaluate() runs under a data mesh; the kernel calls are "
+                "opaque to GSPMD, which will all-gather their operands and "
+                "compute them replicated (correct, but the sharding buys "
+                "nothing). Unset the env var for mesh runs.")
 
-    # Pallas kernels are opaque to the GSPMD partitioner: mesh dispatches
-    # trace the XLA scan path (same rule as train.loop._tp_scoped), scoped
-    # so single-device work in the process keeps its kernel fast path.
-    # (A factory: generator-based context managers are single-use, and the
-    # scope is entered once per pass.)
-    def kernel_scope():
-        return (pallas_ctl.default_override(False) if mesh is not None
-                else contextlib.nullcontext())
+        def take_batch(i):
+            return [a[i] for a in devd]
 
-    # Mesh runs get a FRESH jit: the kernel switch is trace-time and not a
-    # jit cache key, so sharing _cascade_metrics_acc_jit with single-device
-    # callers at colliding shapes would reuse a kernels-ON jaxpr under
-    # GSPMD (see the binding's comment).  The retrace cost is per-evaluate,
-    # not per-batch.
-    step = (_cascade_metrics_acc_jit if mesh is None else
-            partial(jax.jit, static_argnums=(7, 8),
-                    donate_argnums=(9,))(_cascade_metrics_acc))
+    def acc0():
+        z = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
+        return (z if mesh is None
+                else mesh_mod.put_global(z, mesh_mod.replicated(mesh)))
+
+    def step_batch(i, acc):
+        c, im, bo, k, w = take_batch(i)
+        return _cascade_metrics_acc_jit(
+            params, state, c, im, bo, k, w, cfg.lower_pc_no, cfg.imu_used,
+            acc, kernels)
 
     def run_all():
         # Async dispatch chain: each batch adds its packed metric sums into
         # the (donated) accumulator; the single host fetch at the end both
         # forces completion of every batch and pays the tunnel round trip
         # exactly once.
-        acc = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
-        with kernel_scope():
-            for start in range(0, padded, batch):
-                sl = slice(start, start + batch)
-                # whole-set batches skip the slice: x[0:n] of an n-row
-                # device array still dispatches a full-size device copy
-                # (~480 MB of cloud, ~1.2 ms/pass in the cascade profile)
-                take = (lambda a: a) if batch == padded else (lambda a: a[sl])
-                acc = step(
-                    params, state, take(cloud_d), take(imu_d), take(bones_d),
-                    take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used,
-                    acc)
+        acc = acc0()
+        for i in range(nb):
+            acc = step_batch(i, acc)
         return metrics_mod.unpack_metric_sums(np.asarray(acc))
 
     if full_warmup:
         run_all()                               # warmup/compile dispatch
     else:
-        acc = jnp.zeros((metrics_mod.PACKED_LEN,), jnp.float32)
-        sl = slice(0, batch)
-        take = (lambda a: a) if batch == padded else (lambda a: a[sl])
-        with kernel_scope():
-            np.asarray(step(                      # fetch forces completion
-                params, state, take(cloud_d), take(imu_d), take(bones_d),
-                take(key_d), take(w_d), cfg.lower_pc_no, cfg.imu_used, acc))
+        np.asarray(step_batch(0, acc0()))       # fetch forces completion
     t0 = time.perf_counter()
     sums = run_all()
     elapsed = time.perf_counter() - t0
@@ -372,18 +387,18 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         print(f"{len(data)}it [{elapsed:.2f}s, {m['it_per_s']:.2f}it/s]")
         print(metrics_mod.format_report(m))
     if return_preds:
-        if mesh is None:
-            m["preds"] = run_cascade_batched(params, state, data, batch,
-                                             cfg.lower_pc_no, cfg.imu_used)
-        else:
-            # Same two mesh rules as the metrics pass: a FRESH jit (the
-            # shared _cascade_jit may hold a kernels-ON trace at these
-            # shapes) traced inside the kernels-off scope.
-            fresh = jax.jit(lambda p, s, c, i, b: cascade.cascade_apply(
-                p, s, c, i, b, cfg.lower_pc_no, cfg.imu_used))
-            with kernel_scope():
-                m["preds"] = run_cascade_batched(
-                    params, state, data, batch, cfg.lower_pc_no,
-                    cfg.imu_used,
-                    fn=lambda c, i, b: fresh(params, state, c, i, b))
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "return_preds=True is single-controller only: the bulk "
+                "prediction fetch needs every output shard addressable. "
+                "Run the metrics-only evaluate() multi-process and a "
+                "separate single-process pass for predictions.")
+        # The shared _cascade_jit binding is safe under the mesh too: the
+        # ``kernels`` static argument keys the cache (no fresh jit needed).
+        fn = lambda c, i, b: _cascade_jit(params, state, c, i, b,
+                                          cfg.lower_pc_no, cfg.imu_used,
+                                          kernels)
+        m["preds"] = run_cascade_batched(params, state, data, batch,
+                                         cfg.lower_pc_no, cfg.imu_used,
+                                         fn=fn)
     return m

@@ -4,11 +4,16 @@ Kernel use is decided at TRACE time, so a single process can jit the same
 model both ways (e.g. the benchmark's CPU cross-check traces a scan-only
 program with ``backend='cpu'`` while the TPU program uses the kernels).
 
-CAVEAT: the switch is NOT part of any jit cache key.  A program jitted while
-kernels were on is reused verbatim by later same-shape calls even inside an
-``override(False)`` block.  To compare paths at the same shapes, construct a
-FRESH ``jax.jit`` per setting (as ``utils/selfcheck.cpu_crosscheck`` does)
-or call ``jax.clear_caches()`` between settings.
+CAVEAT: the ambient switch is NOT part of any jit cache key.  A program
+jitted while kernels were on is reused verbatim by later same-shape calls
+even inside an ``override(False)`` block.  Jitted entry points that must be
+shared across switch states (the inference cascade, ``infer.py``) close the
+trap structurally: they take a :func:`snapshot` of the resolution as a
+STATIC jit argument and re-impose it with :func:`snapshot_scope` inside the
+traced body, so the switch becomes part of the jit cache key.  Everywhere
+else, construct a FRESH ``jax.jit`` per setting (as
+``utils/selfcheck.cpu_crosscheck`` does) or call ``jax.clear_caches()``
+between settings.
 
 Resolution order:
   1. an active ``override(...)`` context (tests force-enable with interpret
@@ -52,7 +57,16 @@ _DEFAULT_OVERRIDE: contextvars.ContextVar[tuple] = contextvars.ContextVar(
     "mmego_pallas_default_override", default=())
 
 
+# Highest-priority resolution: an exact per-op decision re-imposed inside a
+# jitted body from a static-argument snapshot (see snapshot()/snapshot_scope).
+_SNAPSHOT: contextvars.ContextVar[tuple] = contextvars.ContextVar(
+    "mmego_pallas_snapshot", default=())
+
+
 def enabled(op: str = "lstm") -> bool:
+    snaps = _SNAPSHOT.get()
+    if snaps:
+        return dict(snaps[-1]).get(op, False)
     stack = _OVERRIDE.get()
     if stack:
         return stack[-1]
@@ -80,6 +94,36 @@ def override(value: bool):
         yield
     finally:
         _OVERRIDE.reset(token)
+
+
+def snapshot(force_off: bool = False) -> tuple:
+    """Hashable resolution of every op's switch under the current
+    context/env: sorted ``(op, enabled)`` pairs.
+
+    Pass the result as a STATIC jit argument and re-impose it with
+    :func:`snapshot_scope` inside the jitted body -- the kernel choice then
+    participates in the jit cache key, so one shared jit binding serves
+    kernels-on and kernels-off callers (mesh vs single-device) without ever
+    reusing the wrong jaxpr.  ``force_off=True`` resolves with the per-op
+    defaults replaced by off (the mesh rule: Pallas calls are opaque to the
+    GSPMD partitioner) while still letting an explicit user env setting win,
+    per the module resolution order.
+    """
+    ctx = default_override(False) if force_off else contextlib.nullcontext()
+    with ctx:
+        return tuple((op, enabled(op)) for op in sorted(_OP_DEFAULT_ON))
+
+
+@contextlib.contextmanager
+def snapshot_scope(snap: tuple):
+    """Impose an exact per-op resolution (a :func:`snapshot` value) for the
+    scope; beats every other resolution step (it *is* the resolution the
+    caller captured, including any overrides active at capture time)."""
+    token = _SNAPSHOT.set(_SNAPSHOT.get() + (tuple(snap),))
+    try:
+        yield
+    finally:
+        _SNAPSHOT.reset(token)
 
 
 @contextlib.contextmanager

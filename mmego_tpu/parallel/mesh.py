@@ -87,15 +87,37 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """Place one host/device array with an arbitrary sharding, multi-process
+    safe.
+
+    Single-controller (``jax.process_count() == 1``): plain ``device_put``.
+    Multi-controller: ``device_put`` of a host array to a sharding that spans
+    non-addressable devices raises, so each process contributes only its
+    addressable shards via ``jax.make_array_from_callback`` -- every process
+    holds the full host value (the framework's datasets are deterministic,
+    both processes load identical arrays), and the callback slices out the
+    rows each local device owns.  This is what makes the trainers' and
+    ``infer.evaluate``'s batch feeding run unchanged across OS processes
+    (tests/_multihost_worker.py runs a real two-process stage epoch + eval
+    through this path).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    xnp = np.asarray(x)
+    return jax.make_array_from_callback(xnp.shape, sharding,
+                                        lambda idx: xnp[idx])
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place every array in a batch pytree with its leading axis sharded."""
     s = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: put_global(x, s), tree)
 
 
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, s), tree)
+    return jax.tree.map(lambda x: put_global(x, s), tree)
 
 
 def place_params(mesh: Mesh, tree):

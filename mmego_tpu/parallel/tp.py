@@ -100,6 +100,7 @@ def shard_tree(mesh: Mesh, tree, rules: Optional[Rules] = None):
                     break
         if spec is None:
             spec = spec_for(getattr(x, "shape", ()), n_model)
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        from . import mesh as mesh_mod  # multi-process-safe placement
+        return mesh_mod.put_global(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, tree)

@@ -98,6 +98,15 @@ class _Resident:
         return self.n
 
 
+def _maybe_resident(data, fields):
+    """Wrap a split device-resident -- except in multi-controller runs,
+    where each process must feed per-batch from host (``_shard`` builds the
+    global array from every process's addressable shards); pre-pushing the
+    whole split to the local device would only add a device->host round trip
+    per batch."""
+    return data if jax.process_count() > 1 else _Resident(data, fields)
+
+
 def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields,
                    pad: bool = True):
     """Shuffled batches.  pad=True gives fixed shapes (padded tail, masked
@@ -167,6 +176,16 @@ def _data_mesh():
     return mesh_mod.make_mesh() if jax.device_count() > 1 else None
 
 
+def _acc0(mesh, n: int):
+    """Fresh per-epoch accumulator: a replicated GLOBAL zero vector when a
+    mesh is active (multi-controller jit requires every input global), a
+    plain local array otherwise."""
+    z = jnp.zeros((n,), jnp.float32)
+    if mesh is None:
+        return z
+    return mesh_mod.put_global(z, mesh_mod.replicated(mesh))
+
+
 def _tp_scoped(mesh, fn):
     """Wrap a jitted step so it traces (and runs) with Pallas kernels
     defaulted OFF whenever a mesh is active: kernel calls are opaque to the
@@ -212,7 +231,12 @@ def _shard(mesh, arrays, w):
         arrays = [mesh_mod.pad_leading(a, target) for a in arrays]
         w = jnp.concatenate([w, jnp.zeros((rem,), w.dtype)], axis=0)
     s = mesh_mod.batch_sharding(mesh)
-    return [jax.device_put(a, s) for a in arrays], jax.device_put(w, s)
+    # put_global: plain device_put single-controller; per-process addressable
+    # shards (make_array_from_callback) when the mesh spans OS processes, so
+    # the same trainer code runs multi-host (tests/_multihost_worker.py runs
+    # a real cross-process stage epoch through here).
+    return ([mesh_mod.put_global(a, s) for a in arrays],
+            mesh_mod.put_global(w, s))
 
 
 class _BestTracker:
@@ -335,7 +359,7 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     eval_step = _tp_scoped(mesh, eval_step)
 
     fields = ("imu", "key", "r_r0r")
-    train, test = _Resident(train, fields), _Resident(test, fields)
+    train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
@@ -343,12 +367,12 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
     for epoch in range(epochs):
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
-        acc_tr = jnp.zeros((2,), jnp.float32)
+        acc_tr = _acc0(mesh, 2)
         for (imu, key, r_gt), w in _epoch_batches(train, cfg.batch_size, rng, fields):
             (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
             params, opt_state, acc_tr = train_step(
                 params, opt_state, acc_tr, imu, key, r_gt, w)
-        acc_ev = jnp.zeros((2,), jnp.float32)
+        acc_ev = _acc0(mesh, 2)
         for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size,
                                                   _EVAL_RNG(), fields):
             (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
@@ -473,7 +497,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
     eval_step = _tp_scoped(mesh, eval_step)
 
     fields = ("cloud", "key", "imu", "bones")
-    train, test = _Resident(train, fields), _Resident(test, fields)
+    train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
@@ -489,7 +513,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, imu_params, cloud, key, imu, bones,
                 w, sub)
-        acc_ev = jnp.zeros((2 + 15 + 1,), jnp.float32)
+        acc_ev = _acc0(mesh, 2 + 15 + 1)
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, _EVAL_RNG(), fields):
             (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
@@ -609,7 +633,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
     eval_step = _tp_scoped(mesh, eval_step)
 
     fields = ("cloud", "key", "imu", "bones")
-    train, test = _Resident(train, fields), _Resident(test, fields)
+    train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
@@ -625,7 +649,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             params, state, opt_state, loss = train_step(
                 params, state, opt_state, frozen, cloud, key, imu, bones,
                 w, sub)
-        acc_ev = jnp.zeros((2 + 8 + 1,), jnp.float32)
+        acc_ev = _acc0(mesh, 2 + 8 + 1)
         for (cloud, key, imu, bones), w in _epoch_batches(
                 test, cfg.batch_size, _EVAL_RNG(), fields):
             (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)

@@ -74,6 +74,40 @@ def test_evaluate_dp_matches_single_device(setup, monkeypatch):
                                rtol=1e-5)
 
 
+def test_shared_jit_keys_on_kernel_snapshot(setup, monkeypatch):
+    """VERDICT r4 #5: the kernels snapshot is a STATIC argument of the one
+    shared cascade binding, so same-shape calls with different snapshots can
+    never reuse each other's jaxpr.  Trace order is the adversarial one
+    (kernels-off first, then kernels-on at identical shapes): the second
+    call must still reach the Pallas path through the same binding."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from mmego_tpu.ops import pallas_lstm
+
+    cfg, data, params, state = setup
+    calls = []
+    orig = pallas_lstm.fused_stack
+    monkeypatch.setattr(pallas_lstm, "fused_stack",
+                        lambda p, x: calls.append(1) or orig(p, x))
+    c = jnp.asarray(data.cloud[:2])
+    i = jnp.asarray(data.imu[:2])
+    b = jnp.asarray(data.bones[:2])
+    all_off = tuple((op, False) for op in ("attn", "gcn", "lstm", "tcn", "xattn"))
+    lstm_on = tuple((op, op == "lstm") for op, _ in all_off)
+
+    out_off = infer._cascade_jit(params, state, c, i, b, cfg.lower_pc_no,
+                                 True, all_off)
+    assert not calls, "kernels-off snapshot must not touch the Pallas path"
+    with pltpu.force_tpu_interpret_mode():   # lets the kernel run on CPU
+        out_on = infer._cascade_jit(params, state, c, i, b, cfg.lower_pc_no,
+                                    True, lstm_on)
+    assert calls, ("same-shape kernels-on call reused the kernels-off jaxpr "
+                   "through the shared binding")
+    # Same math through both programs (kernel uses bf16 storage).
+    np.testing.assert_allclose(np.asarray(out_on["all"]),
+                               np.asarray(out_off["all"]), atol=5e-2)
+
+
 def test_stage_timing(setup):
     cfg, data, params, state = setup
     t = infer.stage_timing(cfg, data=data, params=params, state=state, repeats=1)

@@ -80,6 +80,33 @@ def test_pallas_ctl_default_override_resolution(monkeypatch):
     assert pallas_ctl.enabled("attn") is False
 
 
+def test_pallas_ctl_snapshot_and_scope(monkeypatch):
+    """snapshot() captures the full resolution (context + env + backend);
+    snapshot_scope re-imposes it EXACTLY, beating every other step -- the
+    mechanism that makes the kernel switch a jit cache key (infer.py)."""
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    snap = pallas_ctl.snapshot()
+    assert dict(snap)["lstm"] is True and dict(snap)["attn"] is False
+    # force_off resolves with defaults off but an explicit env still wins
+    assert not any(on for _, on in pallas_ctl.snapshot(force_off=True))
+    monkeypatch.setenv("MMEGO_PALLAS_ATTN", "1")
+    assert dict(pallas_ctl.snapshot(force_off=True))["attn"] is True
+    monkeypatch.delenv("MMEGO_PALLAS_ATTN")
+    # scope beats env, default_override and the per-op table
+    monkeypatch.setenv("MMEGO_PALLAS", "1")
+    with pallas_ctl.snapshot_scope((("attn", False), ("lstm", False))):
+        assert pallas_ctl.enabled("lstm") is False
+        assert pallas_ctl.enabled("attn") is False
+    monkeypatch.delenv("MMEGO_PALLAS")
+    with pallas_ctl.default_override(False):
+        with pallas_ctl.snapshot_scope((("lstm", True),)):
+            assert pallas_ctl.enabled("lstm") is True
+            assert pallas_ctl.enabled("attn") is False   # absent -> off
+    assert pallas_ctl.enabled("lstm") is True            # unwound
+
+
 def test_ensure_reachable_backend_branches(monkeypatch):
     """bench.py's tunnel-down guard: a requested-CPU env short-circuits (and
     still pins the config), a healthy probe reports the platform it actually
