@@ -307,11 +307,32 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
     return out, initial_body_unit
 
 
+_SOURCE_TAG = None
+
+
+def _source_tag() -> str:
+    """Cache tag derived from this module's own source bytes: ANY edit to
+    the loader invalidates every cache by construction, replacing the old
+    hand-bumped ``"v1"`` (which silently served stale windows whenever
+    loader logic changed without a bump).  Over-invalidation -- a comment
+    edit forces one re-ingest (~7 s with the native reader) -- is the cheap
+    side of that trade."""
+    global _SOURCE_TAG
+    if _SOURCE_TAG is None:
+        path = os.path.abspath(__file__)
+        if path.endswith(".pyc"):       # some launchers point at bytecode
+            path = path[:-1]
+        with open(path, "rb") as f:
+            _SOURCE_TAG = hashlib.sha1(f.read()).hexdigest()[:10]
+    return _SOURCE_TAG
+
+
 def cache_key(data_root: str, frame_no: int, pc_no: int, padding_seed: int,
               layout: str = "sample") -> str:
     h = hashlib.sha1()
     h.update(os.path.abspath(data_root).encode())
-    h.update(f"|{frame_no}|{pc_no}|{padding_seed}|{layout}|v1".encode())
+    h.update(f"|{frame_no}|{pc_no}|{padding_seed}|{layout}|{_source_tag()}"
+             .encode())
     return h.hexdigest()[:16]
 
 

@@ -1,14 +1,22 @@
-"""Worker for the REAL two-process multi-host smoke test.
+"""Worker for the REAL two-process multi-host tests.
 
 Launched twice by ``tests/test_multihost.py`` (process 0 and 1).  Each
 process exposes 2 virtual CPU devices, joins the cluster through the real
 ``jax.distributed.initialize`` path (via ``parallel.mesh.init_multihost`` --
 no monkeypatching), builds the global 4-device data mesh with ``make_mesh``,
-and runs a jitted global reduction over an array whose shards live in
-different processes -- forcing XLA to insert a genuine cross-process
-collective (the CPU analogue of the DCN/ICI collectives on a TPU slice).
+and then:
 
-Prints ``MULTIHOST_OK <global_sum>`` on success (checked by the test).
+1. runs a jitted global reduction over an array whose shards live in
+   different processes -- forcing XLA to insert a genuine cross-process
+   collective (the CPU analogue of the DCN/ICI collectives on a TPU slice);
+   prints ``MULTIHOST_OK <global_sum>``;
+2. (mode ``trainer``) runs a REAL ``train.loop.train_upper`` epoch and a
+   REAL ``infer.evaluate`` across both processes (batches fed through
+   ``mesh.put_global`` -> ``make_array_from_callback``) and verifies both
+   match the single-process run numerically -- the multi-controller
+   equivalent of tests/test_sharding.py's DP-vs-single-device bar; prints
+   ``MULTIHOST_TRAIN_OK <max_param_dev>`` and ``MULTIHOST_EVAL_OK
+   <avg_cm_dev>``.
 """
 
 import os
@@ -76,7 +84,75 @@ def main() -> int:
     np.testing.assert_allclose(got_g, want_g, rtol=1e-6)
 
     print(f"MULTIHOST_OK {got}", flush=True)
+
+    if len(sys.argv) > 3 and sys.argv[3] == "trainer":
+        _trainer_phase(proc_id)
     return 0
+
+
+def _trainer_phase(proc_id: int) -> None:
+    """A real stage-2 epoch + a real evaluate() across the two processes,
+    each checked for numeric equivalence against the single-process run
+    (MMEGO_DP=off -> mesh None -> purely process-local compute; both
+    processes run the reference redundantly, which also keeps them in
+    lockstep for the collective phases)."""
+    import tempfile
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _helpers import tiny_windows
+    from mmego_tpu import infer
+    from mmego_tpu.checkpoint import store
+    from mmego_tpu.config import Config
+    from mmego_tpu.models import cascade, imu_net
+    from mmego_tpu.train import loop
+
+    tmp = tempfile.mkdtemp(prefix=f"mmego_mh_p{proc_id}_")
+
+    # Deterministic tiny world: both processes build identical data/params.
+    rng = np.random.RandomState(3)
+    data = {"train": tiny_windows(rng, 16), "test": tiny_windows(rng, 8)}
+    loop.dataset_mod.load_split = lambda c, split: data[split]
+    orig_init = imu_net.imu_net_init
+    imu_net.imu_net_init = lambda r, **kw: orig_init(r, hidden=16)
+    imu_path = os.path.join(tmp, "imu.npz")
+    store.save(imu_path, imu_net.imu_net_init(jax.random.PRNGKey(0)))
+
+    def cfg_for(idx):
+        return Config(idx=idx, frame_no=4, pc_no=16, lower_pc_no=8,
+                      batch_size=8, early_stop_patience=100, save_slot=100,
+                      report_root=os.path.join(tmp, "runs"),
+                      model_imu_path=imu_path,
+                      model_upper_path=os.path.join(tmp, "upper.npz"),
+                      model_lower_path=os.path.join(tmp, "lower.npz"))
+
+    # Single-process reference (mesh None; identical in both processes) ...
+    os.environ["MMEGO_DP"] = "off"
+    (p_ref, _), _ = loop.train_upper(cfg_for(70), max_epochs=1, verbose=False)
+    # ... vs the same epoch trained over the global 4-device 2-process mesh.
+    os.environ["MMEGO_DP"] = "auto"
+    (p_mh, _), _ = loop.train_upper(cfg_for(71), max_epochs=1, verbose=False)
+    devs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(jax.tree.leaves(p_mh), jax.tree.leaves(p_ref))]
+    assert max(devs) < 2e-4, f"trainer multi-process deviation {max(devs)}"
+    print(f"MULTIHOST_TRAIN_OK {max(devs):.3e}", flush=True)
+
+    # evaluate(): metrics across processes == single-process metrics.
+    eval_data = tiny_windows(np.random.RandomState(5), 10, with_r_rtw=True)
+    params, state = cascade.cascade_init(jax.random.PRNGKey(0))
+    cfg = cfg_for(72).replace(infer_batch=4)
+    os.environ["MMEGO_DP"] = "off"
+    m_ref = infer.evaluate(cfg, data=eval_data, params=params, state=state,
+                           verbose=False, time_it=False)
+    os.environ["MMEGO_DP"] = "auto"
+    m_mh = infer.evaluate(cfg, data=eval_data, params=params, state=state,
+                          verbose=False, time_it=False)
+    devs = [abs(m_mh[k] - m_ref[k]) / max(abs(m_ref[k]), 1e-9)
+            for k in ("avg_cm", "upper_cm", "lower_cm", "rot_deg")]
+    assert max(devs) < 1e-5, f"evaluate multi-process deviation {devs}"
+    print(f"MULTIHOST_EVAL_OK {max(devs):.3e}", flush=True)
 
 
 if __name__ == "__main__":

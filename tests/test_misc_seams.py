@@ -45,6 +45,30 @@ def test_iter_loaded_preserves_order_with_workers():
     assert got1 == paths
 
 
+def test_ingest_cache_key_tracks_loader_source(tmp_path):
+    """VERDICT r4 #8: the cache tag derives from ingest.py's source bytes,
+    so editing the loader without remembering a version bump can never
+    serve a stale cache.  Verified by importing a byte-modified copy of the
+    module and checking its cache_key diverges."""
+    import importlib.util
+    import shutil
+
+    from mmego_tpu.data import ingest
+
+    k1 = ingest.cache_key("/data", 20, 128, 0)
+    assert k1 == ingest.cache_key("/data", 20, 128, 0)   # stable in-process
+
+    src = ingest.__file__.rstrip("c")
+    mod_path = tmp_path / "ingest_edited.py"
+    shutil.copy(src, mod_path)
+    with open(mod_path, "a") as f:
+        f.write("\n# loader edited\n")
+    spec = importlib.util.spec_from_file_location("ingest_edited", mod_path)
+    edited = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(edited)
+    assert edited.cache_key("/data", 20, 128, 0) != k1
+
+
 def test_pallas_ctl_override_and_env(monkeypatch):
     with pallas_ctl.override(True):
         assert pallas_ctl.enabled("lstm") is True

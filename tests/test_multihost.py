@@ -25,7 +25,10 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_collective():
+def test_two_process_collective_trainer_eval():
+    """Collective smoke + a REAL train_upper epoch + a REAL infer.evaluate
+    across two OS processes, each verified numerically equivalent to the
+    single-process run (see tests/_multihost_worker.py)."""
     coordinator = f"localhost:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -33,10 +36,11 @@ def test_two_process_collective():
     # (the worker sets its own 2-device count) nor write machine-feature-
     # pinned AOT entries into the shared compile cache.
     env.pop("XLA_FLAGS", None)
+    env.pop("MMEGO_DP", None)       # the worker drives this itself
     env["MMEGO_COMPILE_CACHE"] = "0"
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(pid), coordinator],
+            [sys.executable, _WORKER, str(pid), coordinator, "trainer"],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env)
         for pid in (0, 1)
@@ -44,7 +48,7 @@ def test_two_process_collective():
     outs = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=240)
+            out, err = p.communicate(timeout=600)
             outs.append((p.returncode, out, err))
     finally:
         for p in procs:
@@ -53,3 +57,5 @@ def test_two_process_collective():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
         assert "MULTIHOST_OK 84.0" in out, out
+        assert "MULTIHOST_TRAIN_OK" in out, out
+        assert "MULTIHOST_EVAL_OK" in out, out
