@@ -167,6 +167,136 @@ def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
     return packed
 
 
+class FrameProcessor:
+    """Stateful per-frame decode: the ONE implementation of the reference's
+    frame pipeline (``Dataset_sample.py:146-233``), shared by offline ingest
+    and the online serving calibration (``serve.CalibrationSession``) so the
+    two paths are bit-identical by construction.
+
+    State: first-frame calibration (camera reference ``r_ref``, IMU
+    orientation reference, bone table with directions frozen from the very
+    first calibration ever -- ``initial_body_unit``) plus the seeded
+    pad/subsample RNG stream.
+    """
+
+    def __init__(self, pc_no: int, rng: np.random.RandomState,
+                 joint_selection, skeleton, initial_body_unit=None,
+                 compute_bones: bool = True):
+        self.pc_no = pc_no
+        self.rng = rng
+        self.joint_selection = list(joint_selection)
+        self.skeleton = list(skeleton)
+        self.initial_body_unit = initial_body_unit
+        self.compute_bones = compute_bones   # False: GT-free deployment --
+        # the caller supplies a measured bone table and frames may omit
+        # every Kinect-derived field (pc_xyz_key_2/t_R0R/foot_contact/...)
+        self.calibrated = False
+        self.r_ref = None
+        self.orientation_ref = None
+        self.body_length = None
+
+    def process(self, data: Dict) -> Dict:
+        """Decode one raw frame (the ``.mat`` variable dict, §2.8 schema).
+
+        Returns the per-frame arrays (``cloud`` (pc_no, 6) f32, ``key``
+        (21, 3), ``imu`` (20, 15) f64 fixed up, ``ground`` (4,),
+        ``foot_contact`` (2, 2), ``r_r0r``/``r_rtw`` (3, 3), ``t_r0r``
+        (3,)) or ``None`` for an empty point cloud (the reference skips
+        such frames, Dataset_sample.py:151-152)."""
+        pc = np.asarray(data["pc_xyziv_ti2"][:, 0:5], dtype=np.float64)
+        if len(pc) == 0:
+            return None
+        # Kinect-derived fields are optional (a live device has no GT rig);
+        # offline ingest always has them, so the exact path is unchanged.
+        if "pc_xyz_key_2" in data:
+            key = np.asarray(data["pc_xyz_key_2"][:, 0:3])[self.joint_selection]
+        elif self.compute_bones and not self.calibrated:
+            raise ValueError(
+                "first-frame bone calibration needs pc_xyz_key_2 (Kinect GT "
+                "joints); a GT-free capture must construct the processor "
+                "with compute_bones=False and supply a bone table")
+        else:
+            key = np.zeros((len(self.joint_selection), 3))
+        imu = np.asarray(data["imu_save_l"], dtype=np.float64).copy()
+        orientation = np.asarray(data["orientation_imu_img"])
+        t_r0r = (np.asarray(data["t_R0R"]).reshape(3) if "t_R0R" in data
+                 else np.zeros(3))
+        r_btc = np.asarray(data["R_btc"])
+
+        if not self.calibrated:
+            # First frame of the subject: freeze camera/IMU references
+            # and the bone table (Dataset_sample.py:163-178).  Bone
+            # *directions* come from the very first calibration ever;
+            # later subjects only rescale magnitudes (Dataset.py:174-181).
+            self.r_ref = r_btc
+            self.orientation_ref = orientation
+            if self.compute_bones:
+                body = np.stack([key[p] - key[c] for p, c in self.skeleton])
+                if self.initial_body_unit is None:
+                    self.initial_body_unit = body / np.linalg.norm(
+                        body, axis=-1, keepdims=True)
+                    self.body_length = body.astype(np.float32)
+                else:
+                    norm = np.linalg.norm(body, axis=-1, keepdims=True)
+                    self.body_length = (norm * self.initial_body_unit
+                                        ).astype(np.float32)
+            self.calibrated = True
+
+        r_r0r = R_TTB @ self.r_ref @ r_btc.T @ R_TTB.T
+        r_rtw = R_TTB @ r_btc @ R_CTW
+
+        # IMU orientation re-referencing: rows 0:3/3:6/6:9 are the rows of
+        # a 3x3 orientation stacked column-wise (Dataset_sample.py:184-189).
+        # reshape+swapaxes, not np.stack: a per-frame 3-way stack costs
+        # ~0.5 ms of pure Python overhead x 19,114 frames (~10 s of a 27 s
+        # cold ingest).
+        r_ni = imu[:, :9].reshape(-1, 3, 3).swapaxes(1, 2)
+        r_i0i = self.orientation_ref.T @ r_ni
+        imu_rr0 = R_RI @ r_i0i @ R_RI.T
+        imu[:, 0:3] = imu_rr0[:, 0, :]
+        imu[:, 3:6] = imu_rr0[:, 1, :]
+        imu[:, 6:9] = imu_rr0[:, 2, :]
+        # gravity compensation then sign flips, in this order
+        # (Dataset_sample.py:190-193)
+        imu[:, 11] += 9.8
+        imu[:, 10:12] *= -1.0
+        imu[:, 13:] *= -1.0
+
+        fc_raw = np.asarray(data["foot_contact"]).reshape(-1) \
+            if "foot_contact" in data else np.zeros(2)
+        foot = np.asarray(
+            [[0, 1] if fc_raw[0] else [1, 0],
+             [0, 1] if fc_raw[1] else [1, 0]], dtype=np.float32)
+
+        ground = (np.asarray(data["abcd_ground_2"], dtype=np.float64)
+                  .reshape(4) if "abcd_ground_2" in data else np.zeros(4))
+        if ground[0] > 0:
+            ground = -ground
+
+        # 6-feature points: x, y, z, range, velocity, intensity
+        # (Dataset_sample.py:203-208; cols 4:2:-1 = (v, i)).
+        feat = np.zeros((len(pc), 6), dtype=np.float32)
+        xyz = pc[:, 0:3]
+        feat[:, 0:3] = xyz
+        feat[:, 3] = np.sqrt(np.einsum("ij,ij->i", xyz, xyz))
+        feat[:, 4] = pc[:, 4]
+        feat[:, 5] = pc[:, 3]
+
+        # Pad (scatter into random slots, zero elsewhere) or random
+        # subset (Dataset_sample.py:210-224), seeded RNG stream.
+        frame_cloud = np.zeros((self.pc_no, 6), dtype=np.float32)
+        if len(feat) < self.pc_no:
+            slots = self.rng.choice(self.pc_no, size=len(feat), replace=False)
+            frame_cloud[slots] = feat
+        else:
+            keep = self.rng.choice(len(feat), size=self.pc_no, replace=False)
+            frame_cloud = feat[keep]
+
+        return {"cloud": frame_cloud, "key": key, "imu": imu,
+                "ground": ground, "foot_contact": foot, "r_r0r": r_r0r,
+                "t_r0r": t_r0r, "r_rtw": r_rtw}
+
+
 def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
                     joint_selection, skeleton, initial_body_unit):
     """One subject's walk: calibration state resets here (Dataset.py:120-122)."""
@@ -178,9 +308,8 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
         (d for d in os.listdir(data_root)
          if d.isdigit() and os.path.isdir(os.path.join(data_root, d))),
         key=int)
-    calibrated = False
-    r_ref = orientation_ref = None
-    body_length = None
+    proc = FrameProcessor(pc_no, rng, joint_selection, skeleton,
+                          initial_body_unit)
 
     # Enumerate the full walk first (cheap directory listing), then stream
     # the heavy .mat parses through the ordered prefetcher.
@@ -208,103 +337,24 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
     for act, mats in snippets:
         frames = {k: [] for k in ARRAY_KEYS if k not in ("bones", "action")}
         for mat_path in mats:
-            data = next(loaded)
-            pc = np.asarray(data["pc_xyziv_ti2"][:, 0:5], dtype=np.float64)
-            if len(pc) == 0:
+            frame = proc.process(next(loaded))
+            if frame is None:
                 continue
-            key = np.asarray(data["pc_xyz_key_2"][:, 0:3])[joint_selection]
-            imu = np.asarray(data["imu_save_l"], dtype=np.float64).copy()
-            orientation = np.asarray(data["orientation_imu_img"])
-            t_r0r = np.asarray(data["t_R0R"]).reshape(3)
-            r_btc = np.asarray(data["R_btc"])
-
-            if not calibrated:
-                # First frame of the subject: freeze camera/IMU references
-                # and the bone table (Dataset_sample.py:163-178).  Bone
-                # *directions* come from the very first calibration ever;
-                # later subjects only rescale magnitudes
-                # (Dataset.py:174-181).
-                r_ref = r_btc
-                orientation_ref = orientation
-                body = np.stack([key[p] - key[c] for p, c in skeleton])
-                if initial_body_unit is None:
-                    initial_body_unit = body / np.linalg.norm(
-                        body, axis=-1, keepdims=True)
-                    body_length = body.astype(np.float32)
-                else:
-                    norm = np.linalg.norm(body, axis=-1, keepdims=True)
-                    body_length = (norm * initial_body_unit).astype(np.float32)
-                calibrated = True
-
-            r_r0r = R_TTB @ r_ref @ r_btc.T @ R_TTB.T
-            r_rtw = R_TTB @ r_btc @ R_CTW
-
-            # IMU orientation re-referencing: rows 0:3/3:6/6:9 are the
-            # rows of a 3x3 orientation stacked column-wise
-            # (Dataset_sample.py:184-189).  reshape+swapaxes, not np.stack:
-            # a per-frame 3-way stack costs ~0.5 ms of pure Python overhead
-            # x 19,114 frames (~10 s of a 27 s cold ingest).
-            r_ni = imu[:, :9].reshape(-1, 3, 3).swapaxes(1, 2)
-            r_i0i = orientation_ref.T @ r_ni
-            imu_rr0 = R_RI @ r_i0i @ R_RI.T
-            imu[:, 0:3] = imu_rr0[:, 0, :]
-            imu[:, 3:6] = imu_rr0[:, 1, :]
-            imu[:, 6:9] = imu_rr0[:, 2, :]
-            # gravity compensation then sign flips, in this order
-            # (Dataset_sample.py:190-193)
-            imu[:, 11] += 9.8
-            imu[:, 10:12] *= -1.0
-            imu[:, 13:] *= -1.0
-
-            fc_raw = np.asarray(data["foot_contact"]).reshape(-1)
-            foot = np.asarray(
-                [[0, 1] if fc_raw[0] else [1, 0],
-                 [0, 1] if fc_raw[1] else [1, 0]], dtype=np.float32)
-
-            ground = np.asarray(data["abcd_ground_2"], dtype=np.float64).reshape(4)
-            if ground[0] > 0:
-                ground = -ground
-
-            # 6-feature points: x, y, z, range, velocity, intensity
-            # (Dataset_sample.py:203-208; cols 4:2:-1 = (v, i)).
-            feat = np.zeros((len(pc), 6), dtype=np.float32)
-            xyz = pc[:, 0:3]
-            feat[:, 0:3] = xyz
-            feat[:, 3] = np.sqrt(np.einsum("ij,ij->i", xyz, xyz))
-            feat[:, 4] = pc[:, 4]
-            feat[:, 5] = pc[:, 3]
-
-            # Pad (scatter into random slots, zero elsewhere) or random
-            # 128-subset (Dataset_sample.py:210-224), seeded here.
-            frame_cloud = np.zeros((pc_no, 6), dtype=np.float32)
-            if len(feat) < pc_no:
-                slots = rng.choice(pc_no, size=len(feat), replace=False)
-                frame_cloud[slots] = feat
-            else:
-                keep = rng.choice(len(feat), size=pc_no, replace=False)
-                frame_cloud = feat[keep]
-
             # f32 casts are deferred to the final pack (ingest() stacks then
             # casts once; a single f64->f32 rounding is bit-identical to the
             # old per-frame cast and saves ~3 s of astype overhead).
-            frames["cloud"].append(frame_cloud)
-            frames["key"].append(key)
-            frames["imu"].append(imu)
-            frames["ground"].append(ground)
-            frames["foot_contact"].append(foot)
-            frames["r_r0r"].append(r_r0r)
-            frames["t_r0r"].append(t_r0r)
-            frames["r_rtw"].append(r_rtw)
+            for k in frames:
+                frames[k].append(frame[k])
 
         # Tail-first non-overlapping windowing (Dataset_sample.py:235-262).
         while len(frames["cloud"]) >= frame_no:
             for k in frames:
                 out[k].append(np.stack(frames[k][-frame_no:]))
                 frames[k] = frames[k][:-frame_no]
-            out["bones"].append(body_length)
+            out["bones"].append(proc.body_length)
             out["action"].append(act)
 
-    return out, initial_body_unit
+    return out, proc.initial_body_unit
 
 
 _SOURCE_TAG = None

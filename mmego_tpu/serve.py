@@ -18,6 +18,14 @@ built the TPU way:
   offline eval, ``Dataset_sample.py:235-262``; a live head-mounted system
   wants a pose per frame, hence sliding -- the per-window math is
   identical.)
+* ``CalibrationSession`` -- the raw-capture front end: consumes RAW frame
+  dicts (the ``.mat`` variable schema, SURVEY.md §2.8), performs the
+  loader's first-frame calibration + per-frame decode ONLINE
+  (``data/ingest.FrameProcessor`` == reference ``Dataset_sample.py:146-233``
+  -- literally the same code ingest runs, so the two paths are
+  bit-identical), and drives a ``StreamingSession``.  A live head-mounted
+  device reaches the serving layer from raw sensor frames with no offline
+  ingest step.
 
 Latency (measured on the tunneled dev TPU, 400 pushes): **29 ms median /
 32 ms p90** per ``push`` -- one dispatch + ONE packed fetch round trip
@@ -171,3 +179,74 @@ class StreamingSession:
         imu = np.stack([i for _, i in self._frames])[None]     # (1, L, 20, 15)
         out = self.predictor.predict(cloud, imu, self.bones[None])
         return {k: v[0] for k, v in out.items()}
+
+
+class CalibrationSession:
+    """Raw-capture front end: online calibration + per-frame decode +
+    sliding-window inference.
+
+    The first pushed frame calibrates the session exactly as the offline
+    loader's first frame does (reference ``Dataset_sample.py:163-178``):
+    camera reference ``R_btc``, IMU orientation reference
+    ``orientation_imu_img``, and -- when Kinect GT joints ride along
+    (``pc_xyz_key_2``) -- the per-bone table.  A GT-free deployment passes
+    ``bones`` explicitly (a one-time measured (20, 3) bone-vector table)
+    and its frames may omit every Kinect-derived field.
+
+    Args:
+      predictor: a ``Predictor`` (batch=1 for latency), or ``None`` to run
+        calibration/decode only (``push_raw`` then returns processed frames
+        without poses -- e.g. for recording).
+      bones: optional (20, 3) bone vectors; default: calibrated from the
+        first frame's GT joints.
+      padding_seed: seed for the pad/subsample RNG stream (the offline
+        loader's seeded-departure policy, docs/PARITY.md).
+    """
+
+    def __init__(self, predictor: Optional[Predictor] = None,
+                 bones: Optional[np.ndarray] = None, padding_seed: int = 0,
+                 pc_no: Optional[int] = None):
+        from mmego_tpu.config import (KINECT_JOINT_SELECTION, SKELETON_ALL,
+                                      DEFAULT)
+        from mmego_tpu.data import ingest
+        cfg = predictor.cfg if predictor is not None else DEFAULT
+        self.predictor = predictor
+        self._bones = None if bones is None else np.asarray(bones, np.float32)
+        self.proc = ingest.FrameProcessor(
+            pc_no or cfg.pc_no, np.random.RandomState(padding_seed),
+            KINECT_JOINT_SELECTION, SKELETON_ALL,
+            compute_bones=bones is None)
+        self._session: Optional[StreamingSession] = None
+
+    @property
+    def bones(self) -> Optional[np.ndarray]:
+        """The active bone table (given, or calibrated from frame one)."""
+        if self._bones is not None:
+            return self._bones
+        return self.proc.body_length
+
+    def push_raw(self, frame: Dict) -> Optional[Dict]:
+        """Push one RAW capture frame (``.mat`` variable schema: at least
+        ``pc_xyziv_ti2``, ``imu_save_l``, ``orientation_imu_img``,
+        ``R_btc``; plus ``pc_xyz_key_2`` on the first frame unless
+        ``bones`` was given).
+
+        Returns ``None`` for an empty point cloud (the loader skips such
+        frames), else a dict with the processed ``cloud`` (pc_no, 6) and
+        ``imu`` (20, 15) float32 frames -- bit-identical to what offline
+        ingest would pack -- and, once a predictor-backed window is warm,
+        ``pose`` ({"upper"/"lower"/"all"} joint arrays).
+        """
+        processed = self.proc.process(frame)
+        if processed is None:
+            return None
+        # Single f64->f32 rounding, matching ingest's deferred final cast.
+        out = {"cloud": processed["cloud"].astype(np.float32),
+               "imu": processed["imu"].astype(np.float32)}
+        if self.predictor is not None:
+            if self._session is None:
+                self._session = StreamingSession(self.predictor, self.bones)
+            pose = self._session.push(out["cloud"], out["imu"])
+            if pose is not None:
+                out["pose"] = pose
+        return out

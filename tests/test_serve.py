@@ -1,10 +1,14 @@
-"""Serving layer: resident-weight Predictor + sliding StreamingSession."""
+"""Serving layer: resident-weight Predictor + sliding StreamingSession +
+raw-capture CalibrationSession."""
+
+import glob
+import os
 
 import numpy as np
 import jax
 import pytest
 
-from mmego_tpu.config import Config
+from mmego_tpu.config import Config, DEFAULT
 from mmego_tpu.models import cascade
 from mmego_tpu import infer, serve
 
@@ -79,3 +83,103 @@ def test_streaming_session_sliding_window(world):
     nxt = sess.push(data.cloud[w0 + 1, 0], data.imu[w0 + 1, 0])
     assert nxt["all"].shape == (cfg.frame_no, 21, 3)
     assert len(sess) == cfg.frame_no  # ring stays at window length
+
+
+# ---------------------------------------------------------------------------
+# CalibrationSession: raw frames -> calibration -> streaming
+# ---------------------------------------------------------------------------
+
+def _raw_frame(rng, n_pts=10, with_gt=True):
+    """A synthetic raw capture frame in the .mat variable schema."""
+    f = {"pc_xyziv_ti2": rng.randn(n_pts, 5).astype(np.float64),
+         "imu_save_l": rng.randn(20, 15).astype(np.float64),
+         "orientation_imu_img": np.eye(3),
+         "R_btc": np.eye(3)}
+    if with_gt:
+        f["pc_xyz_key_2"] = rng.randn(32, 3).astype(np.float64)
+        f["t_R0R"] = rng.randn(1, 3)
+        f["abcd_ground_2"] = rng.randn(1, 4)
+        f["foot_contact"] = np.array([[1, 0]], np.uint8)
+    return f
+
+
+def test_calibration_session_streams_poses(world):
+    """Raw frames -> online calibration -> sliding-window poses; the pose
+    must equal Predictor.predict on the window the session assembled."""
+    cfg, data, params, state = world
+    pred = serve.Predictor(cfg, params=params, state=state, batch=1)
+    sess = serve.CalibrationSession(pred, padding_seed=0)
+    rng = np.random.RandomState(7)
+
+    outs = [sess.push_raw(_raw_frame(rng)) for _ in range(cfg.frame_no)]
+    assert all(o is not None and "pose" not in o for o in outs[:-1])
+    assert "pose" in outs[-1]
+    assert sess.bones.shape == (20, 3)     # calibrated from frame-1 GT
+
+    cloud = np.stack([o["cloud"] for o in outs])[None]
+    imu = np.stack([o["imu"] for o in outs])[None]
+    ref = pred.predict(cloud, imu, sess.bones[None])
+    np.testing.assert_allclose(outs[-1]["pose"]["all"], ref["all"][0],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_calibration_session_gt_free(world):
+    """A GT-free deployment: explicit bone table, frames carry only the
+    live-sensor fields; empty clouds are skipped like the loader does."""
+    cfg, data, params, state = world
+    pred = serve.Predictor(cfg, params=params, state=state, batch=1,
+                           warmup=False)
+    rng = np.random.RandomState(8)
+    sess = serve.CalibrationSession(pred, bones=data.bones[0])
+    assert sess.push_raw(_raw_frame(rng, n_pts=0, with_gt=False)) is None
+    for _ in range(cfg.frame_no):
+        out = sess.push_raw(_raw_frame(rng, with_gt=False))
+    assert "pose" in out and out["pose"]["all"].shape == (cfg.frame_no, 21, 3)
+
+    # without bones, a GT-free first frame must fail loudly
+    with pytest.raises(ValueError, match="pc_xyz_key_2"):
+        serve.CalibrationSession(pred).push_raw(_raw_frame(rng, with_gt=False))
+
+
+@pytest.mark.skipif(not os.path.isdir(DEFAULT.data_root),
+                    reason="sample data absent")
+def test_calibration_session_matches_offline_ingest():
+    """End-to-end raw-.mat -> calibration -> processed frames, bit-identical
+    to the windows offline ingest packs (VERDICT r4 #6 'Done' bar).
+
+    The first PROCESSED snippet of the walk (the very first is skipped,
+    Dataset_sample.py:134-135) consumes the pad-RNG stream from its start,
+    so a fresh CalibrationSession fed the same frames in the same order
+    reproduces ingest's cloud/imu/bones windows exactly."""
+    import scipy.io as scio
+
+    from mmego_tpu.data import ingest as ingest_mod
+
+    packed = ingest_mod.load_or_ingest(
+        DEFAULT.data_root, DEFAULT.cache_dir, DEFAULT.frame_no,
+        DEFAULT.pc_no, DEFAULT.padding_seed, verbose=False)
+
+    act0 = sorted((d for d in os.listdir(DEFAULT.data_root) if d.isdigit()),
+                  key=int)[0]
+    snips = sorted(s for s in os.listdir(os.path.join(DEFAULT.data_root, act0))
+                   if os.path.isdir(os.path.join(DEFAULT.data_root, act0, s)))
+    mats = sorted(glob.glob(os.path.join(DEFAULT.data_root, act0, snips[1],
+                                         "*.mat")),
+                  key=ingest_mod._numeric_key)
+
+    sess = serve.CalibrationSession(predictor=None,
+                                    padding_seed=DEFAULT.padding_seed)
+    frames = [f for f in (sess.push_raw(scio.loadmat(p)) for p in mats)
+              if f is not None]
+
+    # ingest windows this snippet tail-first; its windows lead the pack.
+    n_win = len(frames) // DEFAULT.frame_no
+    assert n_win >= 1
+    np.testing.assert_array_equal(sess.bones, packed["bones"][0])
+    for w in range(n_win):
+        lo = len(frames) - (w + 1) * DEFAULT.frame_no
+        win = frames[lo:lo + DEFAULT.frame_no]
+        np.testing.assert_array_equal(
+            np.stack([f["cloud"] for f in win]), packed["cloud"][w])
+        np.testing.assert_array_equal(
+            np.stack([f["imu"] for f in win]), packed["imu"][w])
