@@ -119,6 +119,16 @@ class Config:
     # unseeded (Dataset_sample.py:215-224); we pin it for reproducibility.
     padding_seed: int = 0
 
+    # Train-time augmentation (this framework only; the reference has none).
+    # augment_overlap: per epoch, add phase-shifted windows synthesised from
+    # time-adjacent TRAIN window pairs of the same snippet (the loader's
+    # tail-first chopping discards phase diversity, Dataset_sample.py:235-262;
+    # built strictly from train-split frames -- zero held-out leakage).
+    augment_overlap: bool = False
+    # augment_cloud_sigma: train-time Gaussian jitter (metres) on the real
+    # (non-zero) cloud points' xyz; the range feature is recomputed.
+    augment_cloud_sigma: float = 0.0
+
     # Checkpoint paths.  Defaults are this framework's own FROM-SCRATCH
     # trained weights under artifacts/ -- zero imported reference parameters
     # (the upstream repo ships no IMU checkpoint at all, SURVEY.md §0, and

@@ -38,7 +38,10 @@ R_CTW = np.array([[1, 0, 0], [0, 0, -1], [0, 1, 0]], dtype=np.float64)
 _NUM_RE = re.compile(r"\d+")
 
 ARRAY_KEYS = ("cloud", "key", "imu", "bones", "ground", "foot_contact",
-              "r_r0r", "t_r0r", "r_rtw", "action")
+              "r_r0r", "t_r0r", "r_rtw", "action", "snippet", "win_pos")
+
+# Per-window (not per-frame) keys; everything else stacks frame_no frames.
+_WINDOW_KEYS = ("bones", "action", "snippet", "win_pos")
 
 # The .mat variables the pipeline consumes (SURVEY.md §2.8).
 MAT_KEYS = frozenset({
@@ -130,7 +133,9 @@ def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
       cloud (W, L, 128, 6)  key (W, L, 21, 3)  imu (W, L, 20, 15)
       bones (W, 20, 3)      ground (W, L, 4)   foot_contact (W, L, 2, 2)
       r_r0r (W, L, 3, 3)    t_r0r (W, L, 3)    r_rtw (W, L, 3, 3)
-      action (W,) int32     [subject (W,) int32 when layout='full']
+      action (W,) int32     snippet (W,) int32 (globally unique snippet id)
+      win_pos (W,) int32 (windows cut from the snippet so far; 0 = tail)
+      [subject (W,) int32 when layout='full']
     """
     from mmego_tpu.config import KINECT_JOINT_SELECTION, SKELETON_ALL
     joint_selection = list(joint_selection or KINECT_JOINT_SELECTION)
@@ -151,17 +156,24 @@ def ingest(data_root: str, frame_no: int = 20, pc_no: int = 128,
         raise ValueError(f"unknown layout {layout!r}")
 
     initial_body_unit = None  # bone directions: frozen from first calibration
+    snip_base = 0             # snippet ids globally unique across subjects
     for subj_idx, (subj_name, subj_root) in enumerate(subjects):
         sub_out, initial_body_unit = _ingest_subject(
             subj_root, frame_no, pc_no, rng, loadmat, joint_selection,
             skeleton, initial_body_unit)
         for k in ARRAY_KEYS:
-            out[k].extend(sub_out[k])
+            if k == "snippet":
+                out[k].extend(s + snip_base for s in sub_out[k])
+            else:
+                out[k].extend(sub_out[k])
+        if sub_out["snippet"]:
+            snip_base = max(out["snippet"]) + 1
         out["subject"].extend([subj_idx] * len(sub_out["action"]))
 
     packed = {k: np.stack(out[k]).astype(np.float32) for k in ARRAY_KEYS
-              if k != "action"}
-    packed["action"] = np.asarray(out["action"], dtype=np.int32)
+              if k not in ("action", "snippet", "win_pos")}
+    for k in ("action", "snippet", "win_pos"):
+        packed[k] = np.asarray(out[k], dtype=np.int32)
     if layout == "full":
         packed["subject"] = np.asarray(out["subject"], dtype=np.int32)
     return packed
@@ -334,8 +346,8 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
 
     loaded = _iter_loaded(loadmat, [p for _, mats in snippets for p in mats],
                           workers=_ingest_workers())
-    for act, mats in snippets:
-        frames = {k: [] for k in ARRAY_KEYS if k not in ("bones", "action")}
+    for snip_id, (act, mats) in enumerate(snippets):
+        frames = {k: [] for k in ARRAY_KEYS if k not in _WINDOW_KEYS}
         for mat_path in mats:
             frame = proc.process(next(loaded))
             if frame is None:
@@ -347,12 +359,19 @@ def _ingest_subject(data_root, frame_no, pc_no, rng, loadmat,
                 frames[k].append(frame[k])
 
         # Tail-first non-overlapping windowing (Dataset_sample.py:235-262).
+        # win_pos counts windows cut from this snippet so far (0 = the
+        # snippet tail); together with the global snippet id it lets the
+        # overlap augmenter (train/augment.py) find time-adjacent windows.
+        win_pos = 0
         while len(frames["cloud"]) >= frame_no:
             for k in frames:
                 out[k].append(np.stack(frames[k][-frame_no:]))
                 frames[k] = frames[k][:-frame_no]
             out["bones"].append(proc.body_length)
             out["action"].append(act)
+            out["snippet"].append(snip_id)
+            out["win_pos"].append(win_pos)
+            win_pos += 1
 
     return out, proc.initial_body_unit
 

@@ -94,6 +94,16 @@ class _Resident:
         self.fields = tuple(fields)
         self.arrays = [jnp.asarray(getattr(data, f)) for f in fields]
 
+    @classmethod
+    def from_arrays(cls, arrays, fields):
+        """A view over already-device arrays (e.g. the per-epoch augmented
+        concatenation built by train/augment.OverlapAugmenter)."""
+        obj = cls.__new__(cls)
+        obj.n = int(arrays[0].shape[0])
+        obj.fields = tuple(fields)
+        obj.arrays = list(arrays)
+        return obj
+
     def __len__(self):
         return self.n
 
@@ -105,6 +115,32 @@ def _maybe_resident(data, fields):
     whole split to the local device would only add a device->host round trip
     per batch."""
     return data if jax.process_count() > 1 else _Resident(data, fields)
+
+
+def _overlap_augmenter(cfg: Config):
+    """Build the phase-shift augmenter for this config's TRAIN split (None
+    unless ``cfg.augment_overlap``); see train/augment.py."""
+    if not cfg.augment_overlap:
+        return None
+    from mmego_tpu.data import ingest as ingest_mod
+    from mmego_tpu.train import augment
+    packed = ingest_mod.load_or_ingest(
+        cfg.data_root, cfg.cache_dir, cfg.frame_no, cfg.pc_no,
+        cfg.padding_seed, verbose=False)
+    w = len(packed["cloud"])
+    perm = dataset_mod._reference_permutation(w, cfg.dataset_random_seed)
+    return augment.OverlapAugmenter(packed["snippet"], packed["win_pos"],
+                                    perm[:int(w * 0.8)], cfg.frame_no)
+
+
+def _augmented_epoch_view(train, aug, fields, seed: int, epoch: int):
+    """The per-epoch training set: the real split plus (when augmenting)
+    freshly phase-shifted windows, as a _Resident view."""
+    if aug is None or not isinstance(train, _Resident):
+        return train
+    rng = np.random.RandomState(seed * 7919 + epoch + 13)
+    return _Resident.from_arrays(
+        aug.augmented_arrays(train.arrays, fields, rng), fields)
 
 
 def _epoch_batches(data, batch: int, rng: np.random.RandomState, fields,
@@ -463,6 +499,10 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
         # frozen upstream params ride as jit ARGUMENTS, not closures --
         # closures would bake 23M weights into the HLO as constants and blow
         # compile time up by minutes.
+        if train_mode and cfg.augment_cloud_sigma > 0.0:
+            from mmego_tpu.train import augment
+            rng, jrng = jax.random.split(rng)
+            cloud = augment.jitter_cloud(cloud, cfg.augment_cloud_sigma, jrng)
         r, t = imu_net.imu_net_apply(imu_p, imu)
         r = jax.lax.stop_gradient(r)
         t = jax.lax.stop_gradient(t)
@@ -498,6 +538,7 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
 
     fields = ("cloud", "key", "imu", "bones")
     train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
+    aug = _overlap_augmenter(cfg)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
@@ -506,8 +547,9 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
     for epoch in range(epochs):
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
+        epoch_train = _augmented_epoch_view(train, aug, fields, seed, epoch)
         for (cloud, key, imu, bones), w in _epoch_batches(
-                train, cfg.batch_size, rng, fields, pad=False):
+                epoch_train, cfg.batch_size, rng, fields, pad=False):
             (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
             key_rng, sub = jax.random.split(key_rng)
             params, state, opt_state, loss = train_step(
@@ -594,6 +636,10 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
         # frozen = (imu_params, upper_params, upper_state) as jit args (see
         # train_upper note on closure constants).
         imu_p, upper_p, upper_st = frozen
+        if train_mode and cfg.augment_cloud_sigma > 0.0:
+            from mmego_tpu.train import augment
+            rng, jrng = jax.random.split(rng)
+            cloud = augment.jitter_cloud(cloud, cfg.augment_cloud_sigma, jrng)
         r, t = imu_net.imu_net_apply(imu_p, imu)
         r = jax.lax.stop_gradient(r)
         t = jax.lax.stop_gradient(t)
@@ -634,6 +680,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
 
     fields = ("cloud", "key", "imu", "bones")
     train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
+    aug = _overlap_augmenter(cfg)
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
@@ -642,8 +689,9 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
     for epoch in range(epochs):
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
+        epoch_train = _augmented_epoch_view(train, aug, fields, seed, epoch)
         for (cloud, key, imu, bones), w in _epoch_batches(
-                train, cfg.batch_size, rng, fields, pad=False):
+                epoch_train, cfg.batch_size, rng, fields, pad=False):
             (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
             key_rng, sub = jax.random.split(key_rng)
             params, state, opt_state, loss = train_step(
