@@ -43,6 +43,14 @@ def _storage_dtype():
     (tests/test_model_parity.py::test_lower_net_bf16_storage_bound) --
     too coarse to ship against a ~2 cm headline metric.
     MMEGO_GCN_STORAGE=bfloat16 opts in for bandwidth experiments.
+
+    Round-5 measurement (scripts/lower_profile.py, demo batch, v5e): the
+    bf16 storage path buys ~0.3 ms on the ST-GCN branch (5.39 -> 5.10 ms)
+    and nothing on the full lower stage (11.1 -> 11.2 ms) -- the branch is
+    op-count/latency-bound (3 blocks x ~8 small ops over (16700, 15, C)
+    tensors), not HBM-bound, so halving storage traffic does not move it.
+    A mixed f32-BN/bf16-matmul scheme would inherit the same ceiling; kept
+    f32 (same verdict pattern as the deleted Kronecker fold below).
     """
     import os
     name = os.environ.get("MMEGO_GCN_STORAGE", "float32")

@@ -212,6 +212,56 @@ def _data_mesh():
     return mesh_mod.make_mesh() if jax.device_count() > 1 else None
 
 
+# ---------------------------------------------------------------------------
+# Epoch-as-scan (single-device fast path)
+#
+# The per-step epoch loop dispatches 34-42 small programs per epoch (plus 4
+# on-device batch gathers each); through the tunneled backend that per-step
+# dispatch overhead -- not device FLOPs -- dominated the 0.4-0.9 s epochs.
+# On the common single-device path the WHOLE epoch is one jitted
+# ``lax.scan`` over a (n_steps, batch) index matrix: params/opt-state/BN
+# state ride the carry, batches are on-device gathers inside the body, and
+# the host dispatches ONE program per train pass and one per eval pass.
+# The math is the per-step path's, executed in the same order; the mesh and
+# multi-controller paths keep the per-step loop (GSPMD sharding is
+# per-batch there), bounded by the DP/TP-vs-single-device equivalence
+# tests.  The ragged final train batch (pad=False semantics: train-mode BN
+# must see the exact smaller batch, not padded rows) runs as one extra
+# per-step dispatch after the scan.
+# ---------------------------------------------------------------------------
+
+def _epoch_plan(n: int, batch: int, rng: np.random.RandomState):
+    """Host-side plan of one shuffled epoch: a (n_full, batch) int32 row
+    matrix for the scan + the ragged tail's rows."""
+    order = rng.permutation(n)
+    n_full = n // batch
+    return (order[:n_full * batch].reshape(n_full, batch).astype(np.int32),
+            order[n_full * batch:].astype(np.int32))
+
+
+def _eval_plan(n: int, batch: int):
+    """The fixed eval composition (_EVAL_RNG) as padded fixed-shape
+    (n_steps, batch) row + weight matrices (same rows/weights the per-step
+    ``_epoch_batches(pad=True)`` path feeds)."""
+    order = _EVAL_RNG().permutation(n)
+    idx_rows, w_rows = [], []
+    for start in range(0, n, batch):
+        rows = order[start:start + batch]
+        m = len(rows)
+        if m < batch:
+            rows = np.concatenate([rows, np.repeat(rows[-1:], batch - m)])
+        idx_rows.append(rows)
+        w_rows.append((np.arange(batch) < m).astype(np.float32))
+    return (np.stack(idx_rows).astype(np.int32),
+            np.stack(w_rows).astype(np.float32))
+
+
+def _gather_rows(res: "_Resident", rows: np.ndarray):
+    """Device gather of exact (ragged) rows from a resident split."""
+    idx_d = jnp.asarray(rows.astype(np.int32))
+    return [jnp.take(a, idx_d, axis=0) for a in res.arrays]
+
+
 def _acc0(mesh, n: int):
     """Fresh per-epoch accumulator: a replicated GLOBAL zero vector when a
     mesh is active (multi-controller jit requires every input global), a
@@ -396,6 +446,49 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
 
     fields = ("imu", "key", "r_r0r")
     train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
+
+    scan_epochs = mesh is None and isinstance(train, _Resident)
+    if scan_epochs:
+        # One dispatch per train pass, one per eval pass (module header).
+        # Stage-1 trains through the XLA scan recurrence (kernels off at
+        # these batch-20 shapes the fused kernels don't pay; measured).
+        # acc is donated; params/opt-state are NOT -- _BestTracker holds the
+        # best epoch's param pytree across epochs, and donating p here would
+        # delete those buffers out from under it.
+        @partial(jax.jit, donate_argnums=(2,))
+        def train_epoch(p, o, acc, idx, imu_a, key_a, r_a):
+            wfull = jnp.ones((idx.shape[1],), jnp.float32)
+
+            def body(carry, rows):
+                p, o, acc = carry
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, jnp.take(imu_a, rows, axis=0),
+                    jnp.take(key_a, rows, axis=0),
+                    jnp.take(r_a, rows, axis=0), wfull)
+                updates, o = tx.update(grads, o, p)
+                acc = acc + jnp.stack([loss / jnp.sum(wfull) / denom_tr,
+                                       jnp.float32(1.0)])
+                return (optax.apply_updates(p, updates), o, acc), None
+
+            (p, o, acc), _ = jax.lax.scan(body, (p, o, acc), idx)
+            return p, o, acc
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def eval_epoch(p, acc, idx, wmat, imu_a, key_a, r_a):
+            def body(acc, iw):
+                rows, w = iw
+                loss = loss_fn(p, jnp.take(imu_a, rows, axis=0),
+                               jnp.take(key_a, rows, axis=0),
+                               jnp.take(r_a, rows, axis=0), w)
+                return acc + jnp.stack([loss / jnp.sum(w) / denom_tr,
+                                        jnp.float32(1.0)]), None
+
+            acc, _ = jax.lax.scan(body, acc, (idx, wmat))
+            return acc
+
+        ev_idx, ev_w = _eval_plan(len(test), cfg.batch_size)
+        ev_idx_d, ev_w_d = jnp.asarray(ev_idx), jnp.asarray(ev_w)
+
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
@@ -404,15 +497,35 @@ def train_imu(cfg: Config, seed: int = 0, verbose: bool = True,
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
         acc_tr = _acc0(mesh, 2)
-        for (imu, key, r_gt), w in _epoch_batches(train, cfg.batch_size, rng, fields):
-            (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
-            params, opt_state, acc_tr = train_step(
-                params, opt_state, acc_tr, imu, key, r_gt, w)
-        acc_ev = _acc0(mesh, 2)
-        for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size,
-                                                  _EVAL_RNG(), fields):
-            (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
-            acc_ev = eval_step(params, acc_ev, imu, key, r_gt, w)
+        if scan_epochs:
+            idx_full, tail = _epoch_plan(len(train), cfg.batch_size, rng)
+            with pallas_ctl.default_override(False):
+                if len(idx_full):
+                    params, opt_state, acc_tr = train_epoch(
+                        params, opt_state, acc_tr, jnp.asarray(idx_full),
+                        *train.arrays)
+                if len(tail):   # padded tail through the per-step jit
+                    rows = np.concatenate(
+                        [tail, np.repeat(tail[-1:],
+                                         cfg.batch_size - len(tail))])
+                    imu, key, r_gt = _gather_rows(train, rows)
+                    w = jnp.asarray((np.arange(cfg.batch_size)
+                                     < len(tail)).astype(np.float32))
+                    params, opt_state, acc_tr = train_step(
+                        params, opt_state, acc_tr, imu, key, r_gt, w)
+            acc_ev = eval_epoch(params, _acc0(mesh, 2), ev_idx_d, ev_w_d,
+                                *test.arrays)
+        else:
+            for (imu, key, r_gt), w in _epoch_batches(train, cfg.batch_size,
+                                                      rng, fields):
+                (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
+                params, opt_state, acc_tr = train_step(
+                    params, opt_state, acc_tr, imu, key, r_gt, w)
+            acc_ev = _acc0(mesh, 2)
+            for (imu, key, r_gt), w in _epoch_batches(test, cfg.batch_size,
+                                                      _EVAL_RNG(), fields):
+                (imu, key, r_gt), w = _shard(mesh, [imu, key, r_gt], w)
+                acc_ev = eval_step(params, acc_ev, imu, key, r_gt, w)
         # Exactly two host fetches per epoch (train + eval accumulators);
         # each fetch also forces completion of its dispatch chain.
         tr, ev = np.asarray(acc_tr), np.asarray(acc_ev)
@@ -522,16 +635,19 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
     # Packed per-epoch eval accumulator [loss_norm_sum, batches, per_joint
     # (15), frames]; donated + fetched once per epoch (a per-batch float()
     # costs a ~26 ms tunnel RTT each -- see train_imu's train_step note).
-    @partial(jax.jit, donate_argnums=(2,))
-    def eval_step(p, st, acc, imu_p, cloud, key, imu, bones, w):
-        loss, (_, joints, target) = forward_loss(
-            p, st, imu_p, cloud, key, imu, bones, w, None, False)
+    def eval_update(acc, loss, joints, target, w):
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
-        per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (15,)
+        per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (J,)
         n = jnp.sum(w) * cfg.frame_no
         return acc + jnp.concatenate(
             [jnp.stack([loss / jnp.sum(w) / cfg.frame_no,
                         jnp.float32(1.0)]), per_joint, n[None]])
+
+    @partial(jax.jit, donate_argnums=(2,))
+    def eval_step(p, st, acc, imu_p, cloud, key, imu, bones, w):
+        loss, (_, joints, target) = forward_loss(
+            p, st, imu_p, cloud, key, imu, bones, w, None, False)
+        return eval_update(acc, loss, joints, target, w)
 
     train_step = _tp_scoped(mesh, train_step)
     eval_step = _tp_scoped(mesh, eval_step)
@@ -539,28 +655,93 @@ def train_upper(cfg: Config, seed: int = 0, verbose: bool = True,
     fields = ("cloud", "key", "imu", "bones")
     train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
     aug = _overlap_augmenter(cfg)
+
+    scan_epochs = mesh is None and isinstance(train, _Resident)
+    if scan_epochs:
+        # Whole-epoch scan (see module header); per-step rng is
+        # fold_in(epoch_key, step) in BOTH paths so they stay equivalent.
+        # No donation: _BestTracker retains p/st pytrees across epochs (see
+        # train_imu's train_epoch note).
+        @jax.jit
+        def train_epoch(p, st, o, imu_p, idx, ekey, cloud_a, key_a, imu_a,
+                        bones_a):
+            wfull = jnp.ones((idx.shape[1],), jnp.float32)
+
+            def body(carry, step_rows):
+                p, st, o = carry
+                step, rows = step_rows
+                take = lambda a: jnp.take(a, rows, axis=0)
+                (loss, (st, _, _)), grads = jax.value_and_grad(
+                    forward_loss, has_aux=True)(
+                    p, st, imu_p, take(cloud_a), take(key_a), take(imu_a),
+                    take(bones_a), wfull, jax.random.fold_in(ekey, step),
+                    True)
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), st, o), None
+
+            (p, st, o), _ = jax.lax.scan(
+                body, (p, st, o), (jnp.arange(idx.shape[0]), idx))
+            return p, st, o
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def eval_epoch(p, st, imu_p, acc, idx, wmat, cloud_a, key_a, imu_a,
+                       bones_a):
+            def body(acc, iw):
+                rows, w = iw
+                take = lambda a: jnp.take(a, rows, axis=0)
+                loss, (_, joints, target) = forward_loss(
+                    p, st, imu_p, take(cloud_a), take(key_a), take(imu_a),
+                    take(bones_a), w, None, False)
+                return eval_update(acc, loss, joints, target, w), None
+
+            acc, _ = jax.lax.scan(body, acc, (idx, wmat))
+            return acc
+
+        ev_idx, ev_w = _eval_plan(len(test), cfg.batch_size)
+        ev_idx_d, ev_w_d = jnp.asarray(ev_idx), jnp.asarray(ev_w)
+
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
-    key_rng = jax.random.PRNGKey(seed + 1)
+    base_key = jax.random.PRNGKey(seed + 1)
     ckpt_path = None
     for epoch in range(epochs):
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
         epoch_train = _augmented_epoch_view(train, aug, fields, seed, epoch)
-        for (cloud, key, imu, bones), w in _epoch_batches(
-                epoch_train, cfg.batch_size, rng, fields, pad=False):
-            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
-            key_rng, sub = jax.random.split(key_rng)
-            params, state, opt_state, loss = train_step(
-                params, state, opt_state, imu_params, cloud, key, imu, bones,
-                w, sub)
-        acc_ev = _acc0(mesh, 2 + 15 + 1)
-        for (cloud, key, imu, bones), w in _epoch_batches(
-                test, cfg.batch_size, _EVAL_RNG(), fields):
-            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
-            acc_ev = eval_step(params, state, acc_ev, imu_params, cloud,
-                               key, imu, bones, w)
+        ekey = jax.random.fold_in(base_key, epoch)
+        if scan_epochs:
+            idx_full, tail = _epoch_plan(len(epoch_train), cfg.batch_size, rng)
+            with pallas_ctl.default_override(False):
+                if len(idx_full):
+                    params, state, opt_state = train_epoch(
+                        params, state, opt_state, imu_params,
+                        jnp.asarray(idx_full), ekey, *epoch_train.arrays)
+                if len(tail):   # exact ragged tail (train-mode BN parity)
+                    cloud, key, imu, bones = _gather_rows(epoch_train, tail)
+                    params, state, opt_state, _ = train_step(
+                        params, state, opt_state, imu_params, cloud, key,
+                        imu, bones, jnp.ones((len(tail),), jnp.float32),
+                        jax.random.fold_in(ekey, len(idx_full)))
+            acc_ev = eval_epoch(params, state, imu_params,
+                                _acc0(mesh, 2 + 15 + 1), ev_idx_d, ev_w_d,
+                                *test.arrays)
+        else:
+            for step_i, ((cloud, key, imu, bones), w) in enumerate(
+                    _epoch_batches(epoch_train, cfg.batch_size, rng, fields,
+                                   pad=False)):
+                (cloud, key, imu, bones), w = _shard(
+                    mesh, [cloud, key, imu, bones], w)
+                params, state, opt_state, loss = train_step(
+                    params, state, opt_state, imu_params, cloud, key, imu,
+                    bones, w, jax.random.fold_in(ekey, step_i))
+            acc_ev = _acc0(mesh, 2 + 15 + 1)
+            for (cloud, key, imu, bones), w in _epoch_batches(
+                    test, cfg.batch_size, _EVAL_RNG(), fields):
+                (cloud, key, imu, bones), w = _shard(
+                    mesh, [cloud, key, imu, bones], w)
+                acc_ev = eval_step(params, state, acc_ev, imu_params, cloud,
+                                   key, imu, bones, w)
         ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch
         eval_loss = float(ev[0] / ev[1])
         per_joint_err = ev[2:17] / ev[17]                           # (15,)
@@ -664,10 +845,7 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
     # Same packed per-epoch accumulator as train_upper's eval_step
     # ([loss_norm_sum, batches, per_joint (8), frames], donated, one fetch
     # per epoch).
-    @partial(jax.jit, donate_argnums=(2,))
-    def eval_step(p, st, acc, frozen, cloud, key, imu, bones, w):
-        loss, (_, joints, target) = forward_loss(
-            p, st, frozen, cloud, key, imu, bones, w, None, False)
+    def eval_update(acc, loss, joints, target, w):
         err = jnp.sqrt(jnp.sum(jnp.square(joints - target), axis=-1))
         per_joint = jnp.sum(err * w[:, None, None], axis=(0, 1))  # (8,)
         n = jnp.sum(w) * cfg.frame_no
@@ -675,34 +853,105 @@ def train_lower(cfg: Config, seed: int = 0, verbose: bool = True,
             [jnp.stack([loss / jnp.sum(w) / cfg.frame_no,
                         jnp.float32(1.0)]), per_joint, n[None]])
 
+    @partial(jax.jit, donate_argnums=(2,))
+    def eval_step(p, st, acc, frozen, cloud, key, imu, bones, w):
+        loss, (_, joints, target) = forward_loss(
+            p, st, frozen, cloud, key, imu, bones, w, None, False)
+        return eval_update(acc, loss, joints, target, w)
+
     train_step = _tp_scoped(mesh, train_step)
     eval_step = _tp_scoped(mesh, eval_step)
 
     fields = ("cloud", "key", "imu", "bones")
     train, test = _maybe_resident(train, fields), _maybe_resident(test, fields)
     aug = _overlap_augmenter(cfg)
+
+    scan_epochs = mesh is None and isinstance(train, _Resident)
+    if scan_epochs:
+        # Whole-epoch scan (module header); rng = fold_in(epoch_key, step)
+        # in both paths.
+        # No donation: _BestTracker retains p/st pytrees across epochs (see
+        # train_imu's train_epoch note).
+        @jax.jit
+        def train_epoch(p, st, o, frozen, idx, ekey, cloud_a, key_a, imu_a,
+                        bones_a):
+            wfull = jnp.ones((idx.shape[1],), jnp.float32)
+
+            def body(carry, step_rows):
+                p, st, o = carry
+                step, rows = step_rows
+                take = lambda a: jnp.take(a, rows, axis=0)
+                (loss, (st, _, _)), grads = jax.value_and_grad(
+                    forward_loss, has_aux=True)(
+                    p, st, frozen, take(cloud_a), take(key_a), take(imu_a),
+                    take(bones_a), wfull, jax.random.fold_in(ekey, step),
+                    True)
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), st, o), None
+
+            (p, st, o), _ = jax.lax.scan(
+                body, (p, st, o), (jnp.arange(idx.shape[0]), idx))
+            return p, st, o
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def eval_epoch(p, st, frozen, acc, idx, wmat, cloud_a, key_a, imu_a,
+                       bones_a):
+            def body(acc, iw):
+                rows, w = iw
+                take = lambda a: jnp.take(a, rows, axis=0)
+                loss, (_, joints, target) = forward_loss(
+                    p, st, frozen, take(cloud_a), take(key_a), take(imu_a),
+                    take(bones_a), w, None, False)
+                return eval_update(acc, loss, joints, target, w), None
+
+            acc, _ = jax.lax.scan(body, acc, (idx, wmat))
+            return acc
+
+        ev_idx, ev_w = _eval_plan(len(test), cfg.batch_size)
+        ev_idx_d, ev_w_d = jnp.asarray(ev_idx), jnp.asarray(ev_w)
+
     stopper = EarlyStopping(patience=cfg.early_stop_patience)
     best = _BestTracker(model_dir, enabled=cfg.save_best)
     epochs = max_epochs or cfg.epochs
-    key_rng = jax.random.PRNGKey(seed + 2)
+    base_key = jax.random.PRNGKey(seed + 2)
     ckpt_path = None
     for epoch in range(epochs):
         rng = np.random.RandomState(seed * 10007 + epoch)
         t0 = time.time()
         epoch_train = _augmented_epoch_view(train, aug, fields, seed, epoch)
-        for (cloud, key, imu, bones), w in _epoch_batches(
-                epoch_train, cfg.batch_size, rng, fields, pad=False):
-            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
-            key_rng, sub = jax.random.split(key_rng)
-            params, state, opt_state, loss = train_step(
-                params, state, opt_state, frozen, cloud, key, imu, bones,
-                w, sub)
-        acc_ev = _acc0(mesh, 2 + 8 + 1)
-        for (cloud, key, imu, bones), w in _epoch_batches(
-                test, cfg.batch_size, _EVAL_RNG(), fields):
-            (cloud, key, imu, bones), w = _shard(mesh, [cloud, key, imu, bones], w)
-            acc_ev = eval_step(params, state, acc_ev, frozen, cloud, key,
-                               imu, bones, w)
+        ekey = jax.random.fold_in(base_key, epoch)
+        if scan_epochs:
+            idx_full, tail = _epoch_plan(len(epoch_train), cfg.batch_size, rng)
+            with pallas_ctl.default_override(False):
+                if len(idx_full):
+                    params, state, opt_state = train_epoch(
+                        params, state, opt_state, frozen,
+                        jnp.asarray(idx_full), ekey, *epoch_train.arrays)
+                if len(tail):   # exact ragged tail (train-mode BN parity)
+                    cloud, key, imu, bones = _gather_rows(epoch_train, tail)
+                    params, state, opt_state, _ = train_step(
+                        params, state, opt_state, frozen, cloud, key, imu,
+                        bones, jnp.ones((len(tail),), jnp.float32),
+                        jax.random.fold_in(ekey, len(idx_full)))
+            acc_ev = eval_epoch(params, state, frozen,
+                                _acc0(mesh, 2 + 8 + 1), ev_idx_d, ev_w_d,
+                                *test.arrays)
+        else:
+            for step_i, ((cloud, key, imu, bones), w) in enumerate(
+                    _epoch_batches(epoch_train, cfg.batch_size, rng, fields,
+                                   pad=False)):
+                (cloud, key, imu, bones), w = _shard(
+                    mesh, [cloud, key, imu, bones], w)
+                params, state, opt_state, loss = train_step(
+                    params, state, opt_state, frozen, cloud, key, imu,
+                    bones, w, jax.random.fold_in(ekey, step_i))
+            acc_ev = _acc0(mesh, 2 + 8 + 1)
+            for (cloud, key, imu, bones), w in _epoch_batches(
+                    test, cfg.batch_size, _EVAL_RNG(), fields):
+                (cloud, key, imu, bones), w = _shard(
+                    mesh, [cloud, key, imu, bones], w)
+                acc_ev = eval_step(params, state, acc_ev, frozen, cloud,
+                                   key, imu, bones, w)
         ev = np.asarray(acc_ev, np.float64)       # ONE fetch per epoch
         eval_loss = float(ev[0] / ev[1])
         per_joint_err = ev[2:10] / ev[10]                           # (8,)

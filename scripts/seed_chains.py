@@ -8,7 +8,11 @@ uncontaminated and the stacks are valid ensemble members alongside the
 headline stack.
 
 Usage: python scripts/seed_chains.py <seed> [--no-refine]
-Artifacts land in artifacts/chain<seed>/; runs use idx 60<seed>*.
+       [--augment-overlap] [--jitter SIGMA]
+Artifacts land in artifacts/chain<seed>/ (suffix ``_aug`` when augmenting);
+runs use idx 60<seed>*.  The augmentation flags run the same chain with
+train-time phase-shift / cloud-jitter augmentation (Config.augment_*) --
+the measured arm of VERDICT r4 #2's technique list.
 """
 
 import os
@@ -29,14 +33,25 @@ from mmego_tpu.train import loop
 
 def main():
     seed = int(sys.argv[1])
-    out = os.path.join(ARTIFACTS, f"chain{seed}")
+    aug = {}
+    tag = f"chain{seed}"
+    if "--augment-overlap" in sys.argv:
+        aug["augment_overlap"] = True
+    if "--jitter" in sys.argv:
+        aug["augment_cloud_sigma"] = float(
+            sys.argv[sys.argv.index("--jitter") + 1])
+    if aug:
+        tag += "_aug"
+    out = os.path.join(ARTIFACTS, tag)
     os.makedirs(out, exist_ok=True)
     paths = dict(model_imu_path=os.path.join(out, "imu_net.ckpt.npz"),
                  model_upper_path=os.path.join(out, "upper_net.ckpt.npz"),
                  model_lower_path=os.path.join(out, "lower_net.ckpt.npz"))
 
     def stage(name, fn, idx, lr, **kw):
-        cfg = Config(idx=idx, lr=lr, **paths, **kw)
+        # stage-1 has no cloud input; augmentation applies to stages 2/3
+        stage_aug = {} if fn is loop.train_imu else aug
+        cfg = Config(idx=idx, lr=lr, **paths, **stage_aug, **kw)
         _, ckpt = fn(cfg, seed=seed, verbose=False)
         adopt(ckpt, os.path.join(out, f"{name}_net.ckpt.npz"),
               with_state=name != "imu")
