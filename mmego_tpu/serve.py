@@ -135,6 +135,31 @@ class Predictor:
         return _unpack(np.concatenate(flats, axis=0))
 
 
+class EnsemblePredictor:
+    """Prediction-level ensemble over independently trained stacks.
+
+    Averages the joint predictions of N ``Predictor``s (each holding its
+    own cascade weights).  Measured on the 167 held-out windows (round 5,
+    docs/PARITY.md): a 4-stack ensemble scores 4.708 cm vs 5.060 for the
+    best single stack -- variance reduction across same-split stacks is
+    the one technique that moved the held-out plateau.  API-compatible
+    with ``Predictor.predict``, so ``StreamingSession``/
+    ``CalibrationSession`` accept it in place of a single predictor.
+    """
+
+    def __init__(self, predictors):
+        if not predictors:
+            raise ValueError("EnsemblePredictor needs at least one member")
+        self.predictors = list(predictors)
+        self.cfg = self.predictors[0].cfg
+        self.batch = self.predictors[0].batch
+
+    def predict(self, cloud: np.ndarray, imu: np.ndarray,
+                bones: np.ndarray) -> Dict[str, np.ndarray]:
+        outs = [p.predict(cloud, imu, bones) for p in self.predictors]
+        return {k: np.mean([o[k] for o in outs], axis=0) for k in outs[0]}
+
+
 class StreamingSession:
     """Sliding-window online inference for one capture session.
 

@@ -8,12 +8,15 @@ epochs plus on stop, and ``report/{idx}/log-loss.txt`` / ``log-eval.txt``
 logging.  Frozen-upstream cascading follows Train_Upper.py:161-162 /
 Train_Lower.py:190-199 (upstream outputs detached).
 
-TPU-native differences: jit-compiled train steps (eval batches padded +
-weight-masked; train batches keep the exact ragged tail so train-mode
-BatchNorm statistics never see duplicated rows), dataset HBM-resident, and --
-when more than one device is visible -- batches sharded over the data-parallel
-mesh (parallel/mesh.py) with parameters replicated and gradient reduction
-left to GSPMD.
+TPU-native differences: whole-epoch ``lax.scan`` programs on the
+single-device path (ONE dispatch per train pass and one per eval pass --
+see the "Epoch-as-scan" section below; eval batches padded +
+weight-masked, train batches keep the exact ragged tail so train-mode
+BatchNorm statistics never see duplicated rows), dataset HBM-resident,
+and -- when more than one device is visible -- per-step batches sharded
+over the data-parallel mesh (parallel/mesh.py) with parameters replicated
+and gradient reduction left to GSPMD; multi-controller feeding via
+``mesh.put_global``.
 """
 
 from __future__ import annotations
@@ -288,6 +291,18 @@ def _tp_scoped(mesh, fn):
     explicit-user-override contract."""
     if mesh is None:
         return fn
+
+    # An explicit MMEGO_PALLAS[_*]=1 env setting still wins inside the
+    # scope (documented contract) but GSPMD all-gathers around the opaque
+    # kernel calls and computes them replicated -- warn loudly once.
+    with pallas_ctl.default_override(False):
+        if any(on for _, on in pallas_ctl.snapshot()):
+            import warnings
+            warnings.warn(
+                "Pallas kernels are force-enabled by MMEGO_PALLAS[_*] while "
+                "a mesh is active; kernel calls are opaque to GSPMD, so the "
+                "sharding buys nothing for them. Unset the env var for mesh "
+                "runs.")
 
     def wrapped(*args):
         with pallas_ctl.default_override(False):

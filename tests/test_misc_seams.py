@@ -131,6 +131,31 @@ def test_pallas_ctl_snapshot_and_scope(monkeypatch):
     assert pallas_ctl.enabled("lstm") is True            # unwound
 
 
+def test_tp_scoped_warns_on_env_forced_kernels(monkeypatch):
+    """ADVICE r4: forcing MMEGO_PALLAS=1 under a mesh silently loses the
+    sharding benefit (GSPMD all-gathers around the opaque kernel) -- the
+    mesh scopes must warn loudly.  Env still wins (documented contract)."""
+    import warnings
+
+    import jax
+
+    from mmego_tpu.parallel import mesh as mesh_mod
+    from mmego_tpu.train import loop
+
+    mesh = mesh_mod.make_mesh(n_devices=2)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("MMEGO_PALLAS", "1")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        loop._tp_scoped(mesh, lambda: None)
+    assert any("opaque to GSPMD" in str(w.message) for w in caught)
+    monkeypatch.delenv("MMEGO_PALLAS")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        loop._tp_scoped(mesh, lambda: None)
+    assert not caught
+
+
 def test_ensure_reachable_backend_branches(monkeypatch):
     """bench.py's tunnel-down guard: a requested-CPU env short-circuits (and
     still pins the config), a healthy probe reports the platform it actually

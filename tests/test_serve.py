@@ -85,6 +85,30 @@ def test_streaming_session_sliding_window(world):
     assert len(sess) == cfg.frame_no  # ring stays at window length
 
 
+def test_ensemble_predictor(world):
+    """Ensemble output == member-mean; streaming accepts it in place of a
+    single Predictor (duck-typed predict/cfg)."""
+    cfg, data, params, state = world
+    p2, s2 = cascade.cascade_init(jax.random.PRNGKey(7))
+    a = serve.Predictor(cfg, params=params, state=state, batch=2,
+                        warmup=False)
+    b = serve.Predictor(cfg, params=p2, state=s2, batch=2, warmup=False)
+    ens = serve.EnsemblePredictor([a, b])
+    out = ens.predict(data.cloud, data.imu, data.bones)
+    oa = a.predict(data.cloud, data.imu, data.bones)
+    ob = b.predict(data.cloud, data.imu, data.bones)
+    for k in ("upper", "lower", "all"):
+        np.testing.assert_allclose(out[k], (oa[k] + ob[k]) / 2.0,
+                                   rtol=1e-6, atol=1e-7)
+    with pytest.raises(ValueError):
+        serve.EnsemblePredictor([])
+
+    sess = serve.StreamingSession(ens, data.bones[0])
+    for t in range(cfg.frame_no):
+        res = sess.push(data.cloud[0, t], data.imu[0, t])
+    assert res["all"].shape == (cfg.frame_no, 21, 3)
+
+
 # ---------------------------------------------------------------------------
 # CalibrationSession: raw frames -> calibration -> streaming
 # ---------------------------------------------------------------------------
