@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--upper_local", action="store_true",
                         help="use the anchor-voxel UpperNetwlocal variant "
                              "for --train --network Upper_Net")
+    parser.add_argument("--augment_overlap", action="store_true",
+                        help="train-time phase-shifted window augmentation "
+                             "(leakage-free; train/augment.py)")
+    parser.add_argument("--augment_cloud_sigma", type=float,
+                        help="train-time Gaussian xyz jitter (metres) on "
+                             "real cloud points")
     return parser
 
 
@@ -73,6 +79,10 @@ def config_from_args(args, demo: bool = False) -> Config:
         over["model_lower_path"] = args.load_Lower_path
     if args.upper_local:
         over["upper_local"] = True
+    if args.augment_overlap:
+        over["augment_overlap"] = True
+    if args.augment_cloud_sigma is not None:
+        over["augment_cloud_sigma"] = args.augment_cloud_sigma
     return cfg.replace(**over)
 
 

@@ -26,6 +26,15 @@ def test_reference_flags_all_parse():
     assert a.log_dir == 42 and a.device == "cuda:0" and a.colab
 
 
+def test_augment_flags():
+    cfg = cli.config_from_args(_args(
+        ["--train", "--network", "Upper_Net", "--augment_overlap",
+         "--augment_cloud_sigma", "0.01"]))
+    assert cfg.augment_overlap and cfg.augment_cloud_sigma == 0.01
+    off = cli.config_from_args(_args(["--train", "--network", "Upper_Net"]))
+    assert not off.augment_overlap and off.augment_cloud_sigma == 0.0
+
+
 def test_cli_overrides_win_over_defaults():
     cfg = cli.config_from_args(_args(
         ["--train", "--network", "IMU_Net", "--epochs", "7", "--lr", "1e-5",
