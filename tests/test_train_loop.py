@@ -94,3 +94,30 @@ def test_best_checkpoint_written(tiny_cfg):
     assert os.path.exists(best)
     loaded = store.load(best, params)
     assert len(jax.tree.leaves(loaded)) == len(jax.tree.leaves(params))
+
+
+def test_eval_plan_matches_per_step_composition():
+    """The epoch-as-scan eval plan must feed exactly the batches the
+    per-step ``_epoch_batches(pad=True)`` path feeds (same _EVAL_RNG
+    composition, same padded rows, same weight masks) -- the invariant
+    that keeps EarlyStopping signals identical across the two paths."""
+    rng = np.random.RandomState(0)
+    data = tiny_windows(rng, 11)
+    res = loop._Resident(data, ("imu",))
+    batch = 4
+    idx, wmat = loop._eval_plan(len(data), batch)
+    stepped = list(loop._epoch_batches(res, batch, loop._EVAL_RNG(),
+                                       ("imu",)))
+    assert len(stepped) == idx.shape[0]
+    for i, ((imu_b,), w) in enumerate(stepped):
+        np.testing.assert_array_equal(np.asarray(imu_b),
+                                      data.imu[idx[i]])
+        np.testing.assert_array_equal(np.asarray(w), wmat[i])
+
+
+def test_epoch_plan_covers_every_row_once():
+    rng = np.random.RandomState(3)
+    idx, tail = loop._epoch_plan(11, 4, rng)
+    assert idx.shape == (2, 4) and tail.shape == (3,)
+    seen = np.sort(np.concatenate([idx.reshape(-1), tail]))
+    np.testing.assert_array_equal(seen, np.arange(11))
