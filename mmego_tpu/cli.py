@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--upper_local", action="store_true",
                         help="use the anchor-voxel UpperNetwlocal variant "
                              "for --train --network Upper_Net")
+    parser.add_argument("--ensemble", type=str,
+                        help="comma-separated checkpoint-stack directories "
+                             "(or 'headline') for --infer: prediction-level "
+                             "ensemble metric block")
     parser.add_argument("--augment_overlap", action="store_true",
                         help="train-time phase-shifted window augmentation "
                              "(leakage-free; train/augment.py)")
@@ -121,6 +125,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         if args.vis:
             from mmego_tpu.viz import demo
             demo.render_actions(cfg)
+        elif args.ensemble:
+            from mmego_tpu import infer
+            infer.evaluate_ensemble(cfg, args.ensemble.split(","))
         else:
             from mmego_tpu import infer
             from mmego_tpu.viz import curves

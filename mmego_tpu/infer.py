@@ -153,6 +153,46 @@ def run_cascade_batched(params, state, data, batch: int, lower_pc_no: int = 64,
     return {k: np.concatenate(v, axis=0) for k, v in outs.items()}
 
 
+def evaluate_ensemble(cfg: Config, stacks, data=None,
+                      verbose: bool = True) -> Dict:
+    """Metric block for a prediction-level ensemble of checkpoint stacks.
+
+    ``stacks``: directories each holding ``{imu,upper,lower}_net.ckpt.npz``
+    (+ BN-state sidecars), e.g. ``artifacts/chain13_aug``; the literal name
+    ``"headline"`` resolves to the default artifact paths.  Predictions of
+    all members are averaged (the serving counterpart is
+    ``serve.EnsemblePredictor``); measured gains in docs/PARITY.md.
+    """
+    if data is None:
+        data = dataset_mod.load_split(cfg, "vis")
+
+    outs = []
+    for stack in stacks:
+        if stack == "headline":
+            c = cfg
+        else:
+            c = cfg.replace(
+                model_imu_path=os.path.join(stack, "imu_net.ckpt.npz"),
+                model_upper_path=os.path.join(stack, "upper_net.ckpt.npz"),
+                model_lower_path=os.path.join(stack, "lower_net.ckpt.npz"))
+        params, state = load_cascade_params(c)
+        outs.append(run_cascade_batched(
+            params, state, data, min(cfg.infer_batch, len(data)),
+            cfg.lower_pc_no, cfg.imu_used))
+    avg = {k: np.mean([o[k] for o in outs], axis=0) for k in outs[0]}
+    s = metrics_mod.metric_sums(
+        jnp.asarray(avg["all"]), jnp.asarray(data.key),
+        jnp.asarray(avg["upper"]), jnp.asarray(avg["lower"]))
+    m = metrics_mod.finalize_metric_sums(
+        [{k: np.asarray(v) for k, v in s.items()}])
+    m["windows"] = len(data)
+    m["members"] = len(outs)
+    if verbose:
+        print(f"ensemble of {len(outs)} stacks over {len(data)} windows")
+        print(metrics_mod.format_report(m))
+    return m
+
+
 def eval_imu_frames(cfg: Config, data=None, imu_params=None) -> Dict:
     """Per-frame IMU error traces + plot (``Train_IMU.eval_all_imu``,
     Train_IMU.py:187-218): geodesic rotation error in degrees and head

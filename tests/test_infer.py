@@ -108,6 +108,49 @@ def test_shared_jit_keys_on_kernel_snapshot(setup, monkeypatch):
                                np.asarray(out_off["all"]), atol=5e-2)
 
 
+def test_evaluate_ensemble(setup, tmp_path, monkeypatch):
+    """evaluate_ensemble over two stacks == metrics of the member-mean
+    predictions; stack dirs resolve the three-ckpt layout."""
+    import os
+
+    from mmego_tpu.checkpoint import store
+    from mmego_tpu.models import imu_net
+    from mmego_tpu.train import metrics as mm
+    import jax.numpy as jnp
+
+    cfg, data, params, state = setup
+    stacks = []
+    for i in range(2):
+        p2, s2 = cascade.cascade_init(jax.random.PRNGKey(i))
+        d = tmp_path / f"stack{i}"
+        os.makedirs(d)
+        store.save(str(d / "imu_net.ckpt.npz"), p2.imu)
+        store.save(str(d / "upper_net.ckpt.npz"), p2.upper)
+        store.save(str(d / "upper_net.ckpt.state.npz"), s2.upper)
+        store.save(str(d / "lower_net.ckpt.npz"), p2.lower)
+        store.save(str(d / "lower_net.ckpt.state.npz"), s2.lower)
+        stacks.append(str(d))
+
+    m = infer.evaluate_ensemble(cfg, stacks, data=data, verbose=False)
+    assert m["members"] == 2 and m["windows"] == 5
+
+    # reference value: average the two stacks' predictions by hand
+    outs = []
+    for s in stacks:
+        c = cfg.replace(model_imu_path=s + "/imu_net.ckpt.npz",
+                        model_upper_path=s + "/upper_net.ckpt.npz",
+                        model_lower_path=s + "/lower_net.ckpt.npz")
+        p, st = infer.load_cascade_params(c)
+        outs.append(infer.run_cascade_batched(p, st, data, 5,
+                                              cfg.lower_pc_no))
+    avg_all = (outs[0]["all"] + outs[1]["all"]) / 2.0
+    s = mm.metric_sums(jnp.asarray(avg_all), jnp.asarray(data.key),
+                       jnp.asarray((outs[0]["upper"] + outs[1]["upper"]) / 2),
+                       jnp.asarray((outs[0]["lower"] + outs[1]["lower"]) / 2))
+    want = mm.finalize_metric_sums([{k: np.asarray(v) for k, v in s.items()}])
+    np.testing.assert_allclose(m["avg_cm"], want["avg_cm"], rtol=1e-6)
+
+
 def test_stage_timing(setup):
     cfg, data, params, state = setup
     t = infer.stage_timing(cfg, data=data, params=params, state=state, repeats=1)
