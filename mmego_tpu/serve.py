@@ -26,6 +26,9 @@ built the TPU way:
   bit-identical), and drives a ``StreamingSession``.  A live head-mounted
   device reaches the serving layer from raw sensor frames with no offline
   ingest step.
+* ``EnsemblePredictor`` -- prediction-level ensemble over independently
+  trained stacks (member-mean joints; measured held-out gains in
+  docs/PARITY.md), drop-in wherever a ``Predictor`` is accepted.
 
 Latency (measured on the tunneled dev TPU, 400 pushes): **29 ms median /
 32 ms p90** per ``push`` -- one dispatch + ONE packed fetch round trip

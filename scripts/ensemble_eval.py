@@ -14,6 +14,7 @@ Usage: python scripts/ensemble_eval.py [stack ...]   (default: headline
 reference_seeded, plus any artifacts/chain*/ stacks that exist)
 """
 
+import glob
 import os
 import sys
 
@@ -56,7 +57,7 @@ def main():
     if not names:
         names = ["headline", "reference_seeded"]
         names += sorted(os.path.basename(d) for d in
-                        __import__("glob").glob(os.path.join(ARTIFACTS, "chain*")))
+                        glob.glob(os.path.join(ARTIFACTS, "chain*")))
     print(f"[ensemble] members: {names}", flush=True)
 
     cfg = demo_config()
