@@ -218,21 +218,29 @@ class FrameProcessor:
         pc = np.asarray(data["pc_xyziv_ti2"][:, 0:5], dtype=np.float64)
         if len(pc) == 0:
             return None
-        # Kinect-derived fields are optional (a live device has no GT rig);
-        # offline ingest always has them, so the exact path is unchanged.
+        # Kinect-derived fields are optional ONLY in GT-free live capture
+        # (compute_bones=False, serve.CalibrationSession with an explicit
+        # bone table).  Offline ingest keeps the loud KeyError: a truncated
+        # .mat must crash the walk, not pack zero GT into training windows.
+        lax = not self.compute_bones
+
+        def get(name, shape):
+            if not lax or name in data:
+                return data[name]
+            return np.zeros(shape)
+
+        if not lax and "pc_xyz_key_2" not in data:
+            raise ValueError(
+                "frame lacks pc_xyz_key_2 (Kinect GT joints). Offline "
+                "ingest requires it; a GT-free capture must construct the "
+                "processor with compute_bones=False and supply a bone table")
         if "pc_xyz_key_2" in data:
             key = np.asarray(data["pc_xyz_key_2"][:, 0:3])[self.joint_selection]
-        elif self.compute_bones and not self.calibrated:
-            raise ValueError(
-                "first-frame bone calibration needs pc_xyz_key_2 (Kinect GT "
-                "joints); a GT-free capture must construct the processor "
-                "with compute_bones=False and supply a bone table")
         else:
             key = np.zeros((len(self.joint_selection), 3))
         imu = np.asarray(data["imu_save_l"], dtype=np.float64).copy()
         orientation = np.asarray(data["orientation_imu_img"])
-        t_r0r = (np.asarray(data["t_R0R"]).reshape(3) if "t_R0R" in data
-                 else np.zeros(3))
+        t_r0r = np.asarray(get("t_R0R", (1, 3))).reshape(3)
         r_btc = np.asarray(data["R_btc"])
 
         if not self.calibrated:
@@ -274,14 +282,13 @@ class FrameProcessor:
         imu[:, 10:12] *= -1.0
         imu[:, 13:] *= -1.0
 
-        fc_raw = np.asarray(data["foot_contact"]).reshape(-1) \
-            if "foot_contact" in data else np.zeros(2)
+        fc_raw = np.asarray(get("foot_contact", (1, 2))).reshape(-1)
         foot = np.asarray(
             [[0, 1] if fc_raw[0] else [1, 0],
              [0, 1] if fc_raw[1] else [1, 0]], dtype=np.float32)
 
-        ground = (np.asarray(data["abcd_ground_2"], dtype=np.float64)
-                  .reshape(4) if "abcd_ground_2" in data else np.zeros(4))
+        ground = np.asarray(get("abcd_ground_2", (1, 4)),
+                            dtype=np.float64).reshape(4)
         if ground[0] > 0:
             ground = -ground
 
@@ -396,13 +403,23 @@ def _source_tag() -> str:
     return _SOURCE_TAG
 
 
-def cache_key(data_root: str, frame_no: int, pc_no: int, padding_seed: int,
-              layout: str = "sample") -> str:
+def _param_key(data_root: str, frame_no: int, pc_no: int, padding_seed: int,
+               layout: str) -> str:
     h = hashlib.sha1()
     h.update(os.path.abspath(data_root).encode())
-    h.update(f"|{frame_no}|{pc_no}|{padding_seed}|{layout}|{_source_tag()}"
-             .encode())
+    h.update(f"|{frame_no}|{pc_no}|{padding_seed}|{layout}".encode())
     return h.hexdigest()[:16]
+
+
+def cache_key(data_root: str, frame_no: int, pc_no: int, padding_seed: int,
+              layout: str = "sample") -> str:
+    """``<param-hash>_<source-tag>``: the parameter hash names the logical
+    dataset, the source tag invalidates on any loader edit.  Keeping them
+    separate lets ``load_or_ingest`` prune the previous revision's cache of
+    the SAME parameters when it writes a new one (the source tag otherwise
+    orphans one multi-hundred-MB npz per loader edit)."""
+    return (_param_key(data_root, frame_no, pc_no, padding_seed, layout)
+            + "_" + _source_tag())
 
 
 def load_or_ingest(data_root: str, cache_dir: str, frame_no: int = 20,
@@ -421,4 +438,30 @@ def load_or_ingest(data_root: str, cache_dir: str, frame_no: int = 20,
         print(f"[ingest] packing {data_root} -> {path}")
     packed = ingest(data_root, frame_no, pc_no, padding_seed, layout=layout)
     np.savez_compressed(path, **packed)
+    # Prune the previous loader revisions' caches of the SAME parameters
+    # (identical param-hash prefix, different source tag) -- without this,
+    # every loader edit would orphan one full packed npz forever.
+    param = _param_key(data_root, frame_no, pc_no, padding_seed, layout)
+    for old in glob.glob(os.path.join(cache_dir, f"mmego_{param}_*.npz")):
+        if os.path.abspath(old) != os.path.abspath(path):
+            os.remove(old)
     return packed
+
+
+def load_window_meta(data_root: str, cache_dir: str, frame_no: int = 20,
+                     pc_no: int = 128, padding_seed: int = 0,
+                     layout: str = "sample"):
+    """The per-window ``(snippet, win_pos)`` metadata + window count,
+    WITHOUT decompressing the bulk arrays: npz members load lazily on
+    access, so reading three tiny int32 vectors costs ~ nothing (the
+    overlap augmenter needs only these; a full ``load_or_ingest`` here
+    decompressed hundreds of MB per trainer invocation)."""
+    path = os.path.join(
+        cache_dir,
+        f"mmego_{cache_key(data_root, frame_no, pc_no, padding_seed, layout)}.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["snippet"], z["win_pos"], len(z["action"])
+    packed = load_or_ingest(data_root, cache_dir, frame_no, pc_no,
+                            padding_seed, verbose=False, layout=layout)
+    return packed["snippet"], packed["win_pos"], len(packed["action"])

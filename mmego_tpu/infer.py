@@ -373,19 +373,9 @@ def evaluate(cfg: Config, data=None, params=None, state=None,
         devd = [mesh_mod.put_global(a.reshape((nb, batch) + a.shape[1:]), s)
                 for a in host]
         params, state = mesh_mod.place_params(mesh, (params, state))
-        # Pallas kernels are opaque to the GSPMD partitioner: mesh traces
-        # default kernels off.  An explicit MMEGO_PALLAS[_*]=1 env setting
-        # still wins (documented contract) but silently loses the sharding
-        # benefit (GSPMD all-gathers around the opaque call) -- warn loudly.
-        kernels = pallas_ctl.snapshot(force_off=True)
-        if any(on for _, on in kernels):
-            import warnings
-            warnings.warn(
-                "Pallas kernels are force-enabled by MMEGO_PALLAS[_*] while "
-                "evaluate() runs under a data mesh; the kernel calls are "
-                "opaque to GSPMD, which will all-gather their operands and "
-                "compute them replicated (correct, but the sharding buys "
-                "nothing). Unset the env var for mesh runs.")
+        # The mesh kernel policy (defaults off under GSPMD, env wins with a
+        # loud warning) lives in ONE place: pallas_ctl.mesh_snapshot.
+        kernels = pallas_ctl.mesh_snapshot()
 
         def take_batch(i):
             return [a[i] for a in devd]

@@ -114,6 +114,25 @@ def snapshot(force_off: bool = False) -> tuple:
         return tuple((op, enabled(op)) for op in sorted(_OP_DEFAULT_ON))
 
 
+def mesh_snapshot() -> tuple:
+    """The snapshot a GSPMD-sharded (mesh) trace should run under: per-op
+    defaults forced off (Pallas calls are opaque to the partitioner), an
+    explicit user env setting still winning -- with a loud warning when it
+    does, since the sharding then buys nothing for the kernel ops.  The ONE
+    implementation of the mesh kernel policy (used by infer.evaluate and
+    train.loop._tp_scoped)."""
+    snap = snapshot(force_off=True)
+    if any(on for _, on in snap):
+        import warnings
+        warnings.warn(
+            "Pallas kernels are force-enabled by MMEGO_PALLAS[_*] while a "
+            "mesh is active; kernel calls are opaque to GSPMD, which will "
+            "all-gather their operands and compute them replicated "
+            "(correct, but the sharding buys nothing for them). Unset the "
+            "env var for mesh runs.")
+    return snap
+
+
 @contextlib.contextmanager
 def snapshot_scope(snap: tuple):
     """Impose an exact per-op resolution (a :func:`snapshot` value) for the

@@ -54,17 +54,21 @@ from mmego_tpu.models import cascade as cascade_mod
 from mmego_tpu.parallel import mesh as mesh_mod
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(5, 6, 7))
 def _packed_cascade_jit(params, state, cloud, imu, bones, lower_pc_no,
-                        imu_used):
+                        imu_used, kernels):
     """Cascade with the three joint outputs PACKED into one (B, L, 132)
     array: every host fetch over a tunneled backend costs a full round
     trip (~26 ms measured), so fetching upper/lower/all separately tripled
     the streaming push latency (measured 78 -> 29 ms median with the pack
     -- the floor is the one irreducible RTT; device time is sub-ms).
-    Params ride as arguments, not closures (see infer._cascade_jit)."""
-    out = cascade_mod.cascade_apply(params, state, cloud, imu, bones,
-                                    lower_pc_no, imu_used)
+    Params ride as arguments, not closures, and ``kernels`` (a
+    pallas_ctl.snapshot) is STATIC so the Pallas switch keys the cache --
+    same rules as infer._cascade_jit."""
+    from mmego_tpu.ops import pallas_ctl
+    with pallas_ctl.snapshot_scope(kernels):
+        out = cascade_mod.cascade_apply(params, state, cloud, imu, bones,
+                                        lower_pc_no, imu_used)
     b, l = out["all"].shape[:2]
     return jnp.concatenate([out["upper"].reshape(b, l, 45),
                             out["lower"].reshape(b, l, 24),
@@ -96,9 +100,11 @@ class Predictor:
         self.cfg = cfg or demo_config()
         if params is None:
             params, state = infer.load_cascade_params(self.cfg)
+        from mmego_tpu.ops import pallas_ctl
         params, state = jax.device_put((params, state))
         self._fn = lambda c, i, b: _packed_cascade_jit(
-            params, state, c, i, b, self.cfg.lower_pc_no, self.cfg.imu_used)
+            params, state, c, i, b, self.cfg.lower_pc_no, self.cfg.imu_used,
+            pallas_ctl.snapshot())
         self.batch = int(batch or self.cfg.infer_batch)
         if warmup:
             c = np.zeros((self.batch, self.cfg.frame_no, self.cfg.pc_no, 6),

@@ -127,19 +127,29 @@ def _overlap_augmenter(cfg: Config):
         return None
     from mmego_tpu.data import ingest as ingest_mod
     from mmego_tpu.train import augment
-    packed = ingest_mod.load_or_ingest(
+    snippet, win_pos, w = ingest_mod.load_window_meta(
         cfg.data_root, cfg.cache_dir, cfg.frame_no, cfg.pc_no,
-        cfg.padding_seed, verbose=False)
-    w = len(packed["cloud"])
+        cfg.padding_seed)
     perm = dataset_mod._reference_permutation(w, cfg.dataset_random_seed)
-    return augment.OverlapAugmenter(packed["snippet"], packed["win_pos"],
+    return augment.OverlapAugmenter(snippet, win_pos,
                                     perm[:int(w * 0.8)], cfg.frame_no)
 
 
 def _augmented_epoch_view(train, aug, fields, seed: int, epoch: int):
     """The per-epoch training set: the real split plus (when augmenting)
     freshly phase-shifted windows, as a _Resident view."""
-    if aug is None or not isinstance(train, _Resident):
+    if aug is None:
+        return train
+    if not isinstance(train, _Resident):
+        # multi-controller runs feed host splits (no _Resident); the device
+        # synthesis gather is not wired for that path -- refuse silently
+        # training something other than what the config claims.
+        import warnings
+        warnings.warn(
+            "augment_overlap is not supported on the multi-controller "
+            "training path; this epoch trains WITHOUT augmentation. Run "
+            "single-process (or add multi-controller synthesis) for "
+            "augmented training.")
         return train
     rng = np.random.RandomState(seed * 7919 + epoch + 13)
     return _Resident.from_arrays(
@@ -292,17 +302,7 @@ def _tp_scoped(mesh, fn):
     if mesh is None:
         return fn
 
-    # An explicit MMEGO_PALLAS[_*]=1 env setting still wins inside the
-    # scope (documented contract) but GSPMD all-gathers around the opaque
-    # kernel calls and computes them replicated -- warn loudly once.
-    with pallas_ctl.default_override(False):
-        if any(on for _, on in pallas_ctl.snapshot()):
-            import warnings
-            warnings.warn(
-                "Pallas kernels are force-enabled by MMEGO_PALLAS[_*] while "
-                "a mesh is active; kernel calls are opaque to GSPMD, so the "
-                "sharding buys nothing for them. Unset the env var for mesh "
-                "runs.")
+    pallas_ctl.mesh_snapshot()   # warns if env force-enables kernels
 
     def wrapped(*args):
         with pallas_ctl.default_override(False):

@@ -121,6 +121,15 @@ def main():
     timeit("fusion tail", lambda: tail_jit(
         params.lower, p_vec, k_vec, upper_l, bones, r, t), repeats)
 
+    # Drift guard: the branch/tail decomposition above re-implements
+    # lower_net_apply's dataflow; if the model changes, this assert fails
+    # loudly instead of the profile silently measuring stale math.
+    full = lower_jit(params.lower, state.lower, upper_l, cloud_h, bones, r, t)
+    composed = tail_jit(params.lower, p_vec, k_vec, upper_l, bones, r, t)
+    dev = float(jnp.max(jnp.abs(full - composed)))
+    assert dev < 5e-2, f"profile decomposition drifted from the model: {dev}"
+    print(f"decomposition check: max dev vs full stage {dev:.2e} m", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -57,7 +57,9 @@ def main():
               with_state=name != "imu")
         print(f"[chain{seed}] {name} done", flush=True)
 
-    base_idx = 6000 + seed * 10
+    # _aug chains get their own idx band so runs/<idx> never collides with
+    # the plain chain of the same seed.
+    base_idx = (6000 if not aug else 6500) + seed * 10
     # Stage budgets/lrs follow the shipped-reference provenance
     # (imu/upper 3e-5, lower 3e-4; scripts/train_*_scratch.py).
     stage("imu", loop.train_imu, base_idx + 0, 3e-5)

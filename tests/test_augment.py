@@ -93,11 +93,10 @@ def test_train_upper_with_augmentation_smoke(tmp_path, monkeypatch):
     monkeypatch.setenv("MMEGO_DP", "off")
     rng = np.random.RandomState(4)
     W, L = 20, 4
-    packed_meta = {"cloud": np.zeros((W,)),      # only len() is used
-                   "snippet": np.repeat(np.arange(5), 4),
-                   "win_pos": np.tile(np.arange(4)[::-1], 5)}
-    monkeypatch.setattr(ingest_mod, "load_or_ingest",
-                        lambda *a, **k: packed_meta)
+    monkeypatch.setattr(
+        ingest_mod, "load_window_meta",
+        lambda *a, **k: (np.repeat(np.arange(5), 4),
+                         np.tile(np.arange(4)[::-1], 5), W))
     perm = loop.dataset_mod._reference_permutation(W, 1)
     train_rows = perm[:16]
     data = {"train": tiny_windows(rng, 16, l=L), "test": tiny_windows(rng, 8, l=L)}

@@ -165,6 +165,28 @@ def test_calibration_session_gt_free(world):
         serve.CalibrationSession(pred).push_raw(_raw_frame(rng, with_gt=False))
 
 
+def test_frame_processor_strict_for_offline_ingest():
+    """The GT-field laxity is gated on compute_bones=False: offline ingest
+    (compute_bones=True) must still crash loudly on a truncated frame
+    instead of packing zero GT into training windows (round-5 review)."""
+    from mmego_tpu.config import KINECT_JOINT_SELECTION, SKELETON_ALL
+    from mmego_tpu.data import ingest
+
+    rng = np.random.RandomState(9)
+    proc = ingest.FrameProcessor(16, np.random.RandomState(0),
+                                 KINECT_JOINT_SELECTION, SKELETON_ALL)
+    frame = _raw_frame(rng)
+    proc.process(dict(frame))                   # calibrates fine
+    broken = dict(frame)
+    del broken["t_R0R"]
+    with pytest.raises(KeyError):
+        proc.process(broken)
+    no_gt = dict(frame)
+    del no_gt["pc_xyz_key_2"]
+    with pytest.raises(ValueError, match="pc_xyz_key_2"):
+        proc.process(no_gt)
+
+
 @pytest.mark.skipif(not os.path.isdir(DEFAULT.data_root),
                     reason="sample data absent")
 def test_calibration_session_matches_offline_ingest():
