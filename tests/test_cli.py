@@ -107,3 +107,13 @@ def test_infer_dispatch(monkeypatch):
     monkeypatch.setattr(curves, "draw_joint_bar", lambda *a, **k: None)
     assert cli.main(["--infer", "--log_dir", "5"]) == 0
     assert seen["cfg"].idx == 5
+
+
+def test_infer_ensemble_dispatch(monkeypatch):
+    from mmego_tpu import infer
+
+    seen = {}
+    monkeypatch.setattr(infer, "evaluate_ensemble",
+                        lambda cfg, stacks: seen.update(stacks=stacks))
+    assert cli.main(["--infer", "--ensemble", "headline,/tmp/a,/tmp/b"]) == 0
+    assert seen["stacks"] == ["headline", "/tmp/a", "/tmp/b"]
