@@ -193,15 +193,21 @@ class FrameProcessor:
 
     def __init__(self, pc_no: int, rng: np.random.RandomState,
                  joint_selection, skeleton, initial_body_unit=None,
-                 compute_bones: bool = True):
+                 compute_bones: bool = True, strict: bool = True):
         self.pc_no = pc_no
         self.rng = rng
         self.joint_selection = list(joint_selection)
         self.skeleton = list(skeleton)
         self.initial_body_unit = initial_body_unit
-        self.compute_bones = compute_bones   # False: GT-free deployment --
-        # the caller supplies a measured bone table and frames may omit
-        # every Kinect-derived field (pc_xyz_key_2/t_R0R/foot_contact/...)
+        # compute_bones=False: the caller supplies a measured bone table
+        # (GT-free deployment).  strict=True (offline ingest): EVERY
+        # Kinect-derived field is required and a truncated .mat crashes the
+        # walk loudly.  strict=False (online serving): fields beyond the
+        # live-sensor set may be absent and zero-fill -- except the
+        # first-frame GT joints when bone calibration needs them, which
+        # stays a loud ValueError.
+        self.compute_bones = compute_bones
+        self.strict = strict
         self.calibrated = False
         self.r_ref = None
         self.orientation_ref = None
@@ -218,22 +224,24 @@ class FrameProcessor:
         pc = np.asarray(data["pc_xyziv_ti2"][:, 0:5], dtype=np.float64)
         if len(pc) == 0:
             return None
-        # Kinect-derived fields are optional ONLY in GT-free live capture
-        # (compute_bones=False, serve.CalibrationSession with an explicit
-        # bone table).  Offline ingest keeps the loud KeyError: a truncated
-        # .mat must crash the walk, not pack zero GT into training windows.
-        lax = not self.compute_bones
+        # Field strictness: see __init__.  Online sessions (strict=False)
+        # tolerate missing Kinect-derived fields; offline ingest keeps the
+        # loud KeyError so a truncated .mat crashes the walk instead of
+        # packing zero GT into training windows.
+        lax = not self.strict
 
         def get(name, shape):
             if not lax or name in data:
                 return data[name]
             return np.zeros(shape)
 
-        if not lax and "pc_xyz_key_2" not in data:
+        if ("pc_xyz_key_2" not in data and
+                (not lax or (self.compute_bones and not self.calibrated))):
             raise ValueError(
                 "frame lacks pc_xyz_key_2 (Kinect GT joints). Offline "
-                "ingest requires it; a GT-free capture must construct the "
-                "processor with compute_bones=False and supply a bone table")
+                "ingest requires it on every frame; online bone calibration "
+                "needs it on the FIRST frame (or construct the processor "
+                "with compute_bones=False and supply a bone table)")
         if "pc_xyz_key_2" in data:
             key = np.asarray(data["pc_xyz_key_2"][:, 0:3])[self.joint_selection]
         else:
@@ -444,6 +452,12 @@ def load_or_ingest(data_root: str, cache_dir: str, frame_no: int = 20,
     param = _param_key(data_root, frame_no, pc_no, padding_seed, layout)
     for old in glob.glob(os.path.join(cache_dir, f"mmego_{param}_*.npz")):
         if os.path.abspath(old) != os.path.abspath(path):
+            os.remove(old)
+    # Legacy single-hash cache names (pre round-5, source tag folded into
+    # one hex string) can never match any current key -- dead by
+    # construction, prune them too.
+    for old in glob.glob(os.path.join(cache_dir, "mmego_*.npz")):
+        if re.fullmatch(r"mmego_[0-9a-f]{16}\.npz", os.path.basename(old)):
             os.remove(old)
     return packed
 

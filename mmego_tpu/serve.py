@@ -247,10 +247,13 @@ class CalibrationSession:
         cfg = predictor.cfg if predictor is not None else DEFAULT
         self.predictor = predictor
         self._bones = None if bones is None else np.asarray(bones, np.float32)
+        # strict=False: live frames may omit Kinect-derived fields (t_R0R,
+        # foot_contact, ...); only first-frame bone calibration still
+        # requires GT joints (unless ``bones`` was given).
         self.proc = ingest.FrameProcessor(
             pc_no or cfg.pc_no, np.random.RandomState(padding_seed),
             KINECT_JOINT_SELECTION, SKELETON_ALL,
-            compute_bones=bones is None)
+            compute_bones=bones is None, strict=False)
         self._session: Optional[StreamingSession] = None
 
     @property

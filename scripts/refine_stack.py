@@ -53,6 +53,13 @@ def main():
     pos = [a for a in argv if not a.startswith("--")]
     stack, lr, base_idx = pos[0], float(pos[1]), int(pos[2])
     paths = stack_paths(stack)
+    if not paths:
+        # 'headline' resolves to {} (config defaults) -- adopt() below
+        # would KeyError AFTER a full training stage; fail before training.
+        raise SystemExit(
+            f"stack {stack!r} has no explicit checkpoint paths; refine a "
+            "named artifacts/<stack>/ directory (copy the headline "
+            "artifacts into one first)")
 
     evaluate("start", paths)
     stages = [] if skip_imu else [

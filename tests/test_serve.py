@@ -165,6 +165,24 @@ def test_calibration_session_gt_free(world):
         serve.CalibrationSession(pred).push_raw(_raw_frame(rng, with_gt=False))
 
 
+def test_calibration_gt_first_frame_then_live_stream(world):
+    """The documented online path: frame 1 carries Kinect GT (calibrates
+    the bone table), every later frame is live-sensor-only -- the stream
+    must keep flowing (round-5 review regression test)."""
+    cfg, data, params, state = world
+    pred = serve.Predictor(cfg, params=params, state=state, batch=1,
+                           warmup=False)
+    rng = np.random.RandomState(11)
+    sess = serve.CalibrationSession(pred)
+    first = _raw_frame(rng)                      # GT frame: calibrates
+    del first["t_R0R"], first["foot_contact"], first["abcd_ground_2"]
+    assert sess.push_raw(first) is not None      # partial GT is fine online
+    assert sess.bones.shape == (20, 3)
+    for _ in range(cfg.frame_no):
+        out = sess.push_raw(_raw_frame(rng, with_gt=False))
+    assert "pose" in out
+
+
 def test_frame_processor_strict_for_offline_ingest():
     """The GT-field laxity is gated on compute_bones=False: offline ingest
     (compute_bones=True) must still crash loudly on a truncated frame
