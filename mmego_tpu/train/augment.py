@@ -20,7 +20,7 @@ per-frame field materialises as ``field[win_map, frame_map]`` on device.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp
