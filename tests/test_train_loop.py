@@ -96,6 +96,37 @@ def test_best_checkpoint_written(tiny_cfg):
     assert len(jax.tree.leaves(loaded)) == len(jax.tree.leaves(params))
 
 
+def test_epoch_scan_matches_per_step_single_device(tmp_path, monkeypatch):
+    """The epoch-as-scan fast path must train to the SAME parameters as the
+    per-step loop on one device (same batches, same fold_in rng stream;
+    only the program structure differs)."""
+    from unittest import mock
+
+    monkeypatch.setenv("MMEGO_DP", "off")
+    rng = np.random.RandomState(7)
+    data = {"train": tiny_windows(rng, 16), "test": tiny_windows(rng, 8)}
+    monkeypatch.setattr(loop.dataset_mod, "load_split",
+                        lambda c, split: data[split])
+    orig_init = imu_net.imu_net_init
+    base = Config(idx=70, frame_no=4, pc_no=16, lower_pc_no=8, batch_size=6,
+                  early_stop_patience=100, save_slot=100,
+                  report_root=str(tmp_path / "runs"),
+                  model_imu_path=str(tmp_path / "imu.npz"))
+    with mock.patch.object(loop.imu_net, "imu_net_init",
+                           lambda r: orig_init(r, hidden=16)):
+        store.save(base.model_imu_path,
+                   loop.imu_net.imu_net_init(jax.random.PRNGKey(0)))
+        (p_scan, _), _ = loop.train_upper(base, max_epochs=2, verbose=False)
+        # Forcing the split to stay a host split routes the same trainer
+        # through the per-step path (scan_epochs needs a _Resident).
+        monkeypatch.setattr(loop, "_maybe_resident", lambda d, f: d)
+        (p_step, _), _ = loop.train_upper(base.replace(idx=71), max_epochs=2,
+                                          verbose=False)
+    for a, b in zip(jax.tree.leaves(p_scan), jax.tree.leaves(p_step)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_eval_plan_matches_per_step_composition():
     """The epoch-as-scan eval plan must feed exactly the batches the
     per-step ``_epoch_batches(pad=True)`` path feeds (same _EVAL_RNG
