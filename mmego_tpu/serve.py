@@ -149,7 +149,7 @@ class EnsemblePredictor:
 
     Averages the joint predictions of N ``Predictor``s (each holding its
     own cascade weights).  Measured on the 167 held-out windows (round 5,
-    docs/PARITY.md): the 6-stack augmented ensemble scores 4.447 cm vs 5.060 for the
+    docs/PARITY.md): the 8-stack augmented ensemble scores 4.431 cm vs 5.060 for the
     round-4 best single stack -- variance reduction across same-split
     stacks (plus augmentation-diversified members) is what moved the
     held-out plateau.  API-compatible
